@@ -1,0 +1,192 @@
+"""Forcing terms: trivial implementations + MMS-derived forcings.
+
+MMS forcings are computed by residual insertion: for each field,
+``f = d/dt u_exact - RHS_continuous(u_exact)`` with the exact solution's
+analytic derivatives supplied by an MMS case object (reference
+``ForcingTerms_CsTriple`` etc., src/prob1base.py:2296-2425, 3222-3297,
+3468-3551).  The cp forcing is additionally projected onto dual-cell averages
+via 3×3 Gauss–Legendre quadrature (src/prob1base.py:2326-2328).
+
+All methods take (grid, ops, t) with t a traced scalar, so forcing evaluation
+fuses into the jitted time step (the SymPy→JAX lambdified exact-solution
+closures are pure jnp code).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from na_dd_tpu.core.state import heaviside_regularized
+from na_dd_tpu.models.coefficients import Model01
+from na_dd_tpu.ops.grid import Grid
+from na_dd_tpu.ops.quadrature import avg_int
+from na_dd_tpu.ops.shifts import Ops
+
+
+class ForcingBase:
+    def fcp(self, g: Grid, ops: Ops, t):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def fT(self, g: Grid, ops: Ops, t):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def fcl(self, g: Grid, ops: Ops, t):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def fcd(self, g: Grid, ops: Ops, t):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def fcs(self, g: Grid, ops: Ops, t):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def asdict(self):
+        return {
+            "fcp": self.fcp,
+            "fT": self.fT,
+            "fcl": self.fcl,
+            "fcd": self.fcd,
+            "fcs": self.fcs,
+        }
+
+
+class NoForcing(ForcingBase):
+    """All-zero forcing (reference ``NoForcingTerms``, src/prob1base.py:852-869)."""
+
+    def fcp(self, g, ops, t):
+        return g.make_full0()
+
+    fT = fcp
+    fcl = fcp
+    fcd = fcp
+    fcs = fcp
+
+
+class ForcingFromCallables(ForcingBase):
+    """Adapter for user callables f(t, xx, yy) (reference
+    ``ForcingTermsFromDict``, src/prob1base.py:872-889)."""
+
+    def __init__(self, terms: dict):
+        self._terms = terms
+
+    def fcp(self, g, ops, t):
+        return self._terms["fcp"](t, g.xx, g.yy)
+
+    def fT(self, g, ops, t):
+        return self._terms["fT"](t, g.xx, g.yy)
+
+    def fcl(self, g, ops, t):
+        return self._terms["fcl"](t, g.xx, g.yy)
+
+    def fcd(self, g, ops, t):
+        return self._terms["fcd"](t, g.xx, g.yy)
+
+    def fcs(self, g, ops, t):
+        return self._terms["fcs"](t, g.xx, g.yy)
+
+
+class MMSForcingCsTriple(ForcingBase):
+    """Forcing derived from an MMS case for the CsTriple reaction
+    (reference src/prob1base.py:2296-2425)."""
+
+    def __init__(self, *, mms_case, model: Model01):
+        self.mms_case = mms_case
+        self.model = model
+
+    # fcp is the cell-average projection of this pointwise residual.
+    def fcp_ptwise(self, t, xx, yy):
+        c = self.mms_case
+        m = self.model
+        cp = c.cp(t, xx, yy)
+        cl = c.cl(t, xx, yy)
+        T = c.T(t, xx, yy)
+        return c.dt_cp(t, xx, yy) + cp * (m.K1 * (1.0 + cl) + m.K2 * T)
+
+    def fcp(self, g, ops, t):
+        return avg_int(lambda p, q: self.fcp_ptwise(t, p, q), g, ops)
+
+    def fT(self, g, ops, t):
+        c = self.mms_case
+        m = self.model
+        xx, yy = g.xx, g.yy
+        return c.dt_T(t, xx, yy) - (
+            m.DT * c.lap_T(t, xx, yy) - m.K3 * c.cp(t, xx, yy) * c.T(t, xx, yy)
+        )
+
+    def fcl(self, g, ops, t):
+        c = self.mms_case
+        m = self.model
+        xx, yy = g.xx, g.yy
+        cp = c.cp(t, xx, yy)
+        T = c.T(t, xx, yy)
+        cl = c.cl(t, xx, yy)
+        dxCl = c.dx_cl(t, xx, yy)
+        dyCl = c.dy_cl(t, xx, yy)
+        V1 = m.V1(T)
+        V2 = m.V2(T)
+        dV1 = m.V1(T, d=1)
+        dV2 = m.V2(T, d=1)
+        Dl = m.Dl(cp)
+        dDl = m.Dl(cp, d=1)
+        return c.dt_cl(t, xx, yy) - (
+            dDl * (c.dx_cp(t, xx, yy) * dxCl + c.dy_cp(t, xx, yy) * dyCl)
+            + Dl * c.lap_cl(t, xx, yy)
+            - V1 * dxCl
+            - V2 * dyCl
+            - (cl + 1.0) * (dV1 * c.dx_T(t, xx, yy) + dV2 * c.dy_T(t, xx, yy))
+            - m.K4 * cp * (cl + 1.0)
+        )
+
+    def _cs_reaction_factor(self, cs):
+        """F2(cs)/Kd appearing in the exact (continuous) reaction; overridden
+        by the Heaviside variants."""
+        return cs
+
+    def _fcd_fcs_core(self, g, t):
+        c = self.mms_case
+        m = self.model
+        xx, yy = g.xx, g.yy
+        cp = c.cp(t, xx, yy)
+        T = c.T(t, xx, yy)
+        cl = c.cl(t, xx, yy)
+        cd = c.cd(t, xx, yy)
+        cs = c.cs(t, xx, yy)
+        Dd = m.Dd(cp, T)
+        dCp_Dd = m.Dd(cp, T, d=(1, 0))
+        dT_Dd = m.Dd(cp, T, d=(0, 1))
+        cs_factor = self._cs_reaction_factor(cs)
+        reaction = m.Kd * (m.Sd - cd) * (cl + 1.0) * cs_factor
+        diffusion = (
+            (dCp_Dd * c.dx_cp(t, xx, yy) + dT_Dd * c.dx_T(t, xx, yy))
+            * c.dx_cd(t, xx, yy)
+            + (dCp_Dd * c.dy_cp(t, xx, yy) + dT_Dd * c.dy_T(t, xx, yy))
+            * c.dy_cd(t, xx, yy)
+            + Dd * c.lap_cd(t, xx, yy)
+        )
+        return diffusion, reaction
+
+    def fcd(self, g, ops, t):
+        diffusion, reaction = self._fcd_fcs_core(g, t)
+        return self.mms_case.dt_cd(t, g.xx, g.yy) - (diffusion + reaction)
+
+    def fcs(self, g, ops, t):
+        _, reaction = self._fcd_fcs_core(g, t)
+        return self.mms_case.dt_cs(t, g.xx, g.yy) + reaction
+
+
+class MMSForcingHCsTriple(MMSForcingCsTriple):
+    """Sharp-Heaviside reaction in fcd/fcs; fcp/fT/fcl identical to CsTriple
+    (reference src/prob1base.py:3222-3297)."""
+
+    def _cs_reaction_factor(self, cs):
+        return (cs > 0).astype(jnp.asarray(cs).dtype)
+
+
+class MMSForcingRegHCsTriple(MMSForcingCsTriple):
+    """Regularized-Heaviside reaction (reference src/prob1base.py:3468-3551)."""
+
+    def __init__(self, *, mms_case, model: Model01, regularization_factor: float):
+        super().__init__(mms_case=mms_case, model=model)
+        self.regularization_factor = float(regularization_factor)
+
+    def _cs_reaction_factor(self, cs):
+        return heaviside_regularized(cs, self.regularization_factor)

@@ -1,0 +1,259 @@
+"""MMS trial harness: whole-simulation execution and error summaries.
+
+The reference drives the time loop from Python, calling the integrator and
+collecting per-step error norms eagerly (``run_simulation_collect_data``,
+reference src/mms_trial_utils.py:56-147).  Here the entire simulation —
+``num_steps`` integrator steps *and* the per-step error-norm collection — is a
+single ``lax.scan`` inside one jitted XLA program; the host receives only the
+(num_steps+1, n_vars) error arrays at the end.  Error semantics (combined
+max-integral norm with trapezoidal time integration) match
+src/mms_trial_utils.py:15-53 exactly.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, NamedTuple, Optional, Type
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from na_dd_tpu.core.state import State
+from na_dd_tpu.integrators.pc_trapezoidal import (
+    HCsCorrectorPositivityError,
+    PCTrapezoidalBase,
+)
+from na_dd_tpu.mms.engine import state_from_mms_when
+from na_dd_tpu.ops import inner_products, stencils
+from na_dd_tpu.ops.grid import Grid
+from na_dd_tpu.ops.shifts import LOCAL_OPS, Ops
+
+ALL_VARIABLES = ("cp", "T", "cl", "cd", "cs")
+DEFAULT_INTEGRAL_VARS = ("T", "cl", "cd")
+
+
+class ErrorTimeSeries(NamedTuple):
+    """Stacked per-step error records (reference keeps a Python list of
+    per-step NamedTuples; we keep device-shaped arrays)."""
+
+    t: np.ndarray  # (K+1,)
+    h_norm_sq_errors: Dict[str, np.ndarray]  # var -> (K+1,)
+    grad_h_norm_p_sq_errors: Dict[str, np.ndarray]  # var -> (K+1,)
+
+
+def _collect_errors(g: Grid, ops: Ops, mms_case, s: State, t, variable_names, integral_vars):
+    exact = state_from_mms_when(mms_case=mms_case, t=t, grid=g)
+    h_sq = {}
+    grad_sq = {}
+    for var in variable_names:
+        err = getattr(s, var) - getattr(exact, var)
+        h_sq[var] = inner_products.inner_H(ops, g, err, err)
+        if var in integral_vars:
+            gx_n, gy_n = stencils.grad_H(ops, g, getattr(s, var))
+            gx_e, gy_e = stencils.grad_H(ops, g, getattr(exact, var))
+            ex, ey = gx_n - gx_e, gy_n - gy_e
+            grad_sq[var] = inner_products.inner_p(ops, g, ex, ey, ex, ey)
+        else:
+            grad_sq[var] = jnp.asarray(0.0, dtype=err.dtype)
+    return h_sq, grad_sq
+
+
+def _scan_step(integrator, g, ops, s, t, dt):
+    """Uniform (state, small-diagnostics) step wrapper for scan bodies."""
+    out = integrator.step_fn(g, ops, s, t, dt)
+    if isinstance(out, tuple):
+        s1, diag = out
+        small = {
+            "hcs_ok": diag.hcs_denominator_ok,
+            "krylov_iters": diag.krylov_iters,
+        }
+        return s1, small
+    return out, {"hcs_ok": jnp.asarray(True), "krylov_iters": jnp.asarray(0)}
+
+
+def run_simulation_collect_data(
+    *,
+    grid: Grid,
+    integrator,
+    exact_sol_pack,
+    initial_state: State,
+    Tf: float,
+    dt: float,
+    t0: float = 0.0,
+    variable_names: List[str],
+    integral_vars: List[str],
+    ops: Ops = LOCAL_OPS,
+):
+    """Run from t0 to Tf collecting per-step error norms.
+
+    Returns (ErrorTimeSeries, dt_adjusted).  dt is adjusted so that
+    num_steps * dt == Tf - t0 exactly (reference src/mms_trial_utils.py:76-77).
+    """
+    num_steps = math.ceil((Tf - t0) / dt)
+    dt_adj = (Tf - t0) / num_steps
+    variable_names = tuple(variable_names)
+    integral_vars = tuple(integral_vars)
+
+    def collect(s, t):
+        return _collect_errors(grid, ops, exact_sol_pack, s, t, variable_names, integral_vars)
+
+    def body(carry, k):
+        s = carry
+        t_k = t0 + k * dt_adj
+        s1, small = _scan_step(integrator, grid, ops, s, t_k, dt_adj)
+        h_sq, grad_sq = collect(s1, t_k + dt_adj)
+        return s1, (h_sq, grad_sq, small)
+
+    @jax.jit
+    def simulate(s0):
+        h0, g0 = collect(s0, t0)
+        ks = jnp.arange(num_steps, dtype=jnp.result_type(float))
+        s_final, (h_sq, grad_sq, small) = jax.lax.scan(body, s0, ks)
+        return h0, g0, h_sq, grad_sq, small, s_final
+
+    h0, g0, h_sq, grad_sq, small, _s_final = simulate(initial_state)
+
+    if not bool(np.all(np.asarray(small["hcs_ok"]))):
+        raise HCsCorrectorPositivityError(
+            "Denominator 2 - dt Kd (Sd - Cd1) (1 + Cl1) below positiveness threshold."
+        )
+
+    ts = t0 + dt_adj * np.arange(num_steps + 1)
+    series = ErrorTimeSeries(
+        t=ts,
+        h_norm_sq_errors={
+            v: np.concatenate([[float(h0[v])], np.asarray(h_sq[v])])
+            for v in variable_names
+        },
+        grad_h_norm_p_sq_errors={
+            v: np.concatenate([[float(g0[v])], np.asarray(grad_sq[v])])
+            for v in variable_names
+        },
+    )
+    return series, dt_adj
+
+
+def calculate_combined_error_norm(
+    series: ErrorTimeSeries,
+    dt: float,
+    integral_vars: List[str],
+    all_variables: Optional[List[str]] = None,
+) -> float:
+    """Combined max-integral error norm
+    (reference src/mms_trial_utils.py:15-53):
+
+        max_k sqrt( Σ_v ||e_v(t_k)||_H² + ∫₀^{t_k} Σ_{v∈integral} ||∇e_v||_p² dτ )
+
+    with trapezoidal time integration of the gradient terms.
+    """
+    if all_variables is not None:
+        assert all(v in all_variables for v in integral_vars), (
+            "integral_vars must be a subset of all_variables."
+        )
+        h_vars = list(all_variables)
+    else:
+        h_vars = list(series.h_norm_sq_errors.keys())
+
+    integrand = sum(
+        np.asarray(series.grad_h_norm_p_sq_errors[v]) for v in integral_vars
+    ) if integral_vars else np.zeros_like(series.t)
+    spatial = sum(np.asarray(series.h_norm_sq_errors[v]) for v in h_vars)
+
+    running = np.concatenate(
+        [[0.0], np.cumsum(0.5 * dt * (integrand[:-1] + integrand[1:]))]
+    )
+    return float(np.sqrt(np.max(spatial + running)))
+
+
+class NumericalErrorSummary:
+    """Overall + per-variable combined error norms
+    (reference src/mms_trial_utils.py:150-198)."""
+
+    def __init__(
+        self,
+        dt_used: float,
+        time_series_data: ErrorTimeSeries,
+        variable_names: List[str],
+        integral_vars: List[str],
+    ):
+        self.dt_used = dt_used
+        self.variable_names = list(variable_names)
+        self.integral_vars = list(integral_vars)
+
+        self.overall_combined_error: float = calculate_combined_error_norm(
+            time_series_data, dt_used, self.integral_vars
+        )
+        self.per_variable_sup_errors: Dict[str, float] = {}
+        for var in self.variable_names:
+            ivars = [var] if var in self.integral_vars else []
+            self.per_variable_sup_errors[var] = calculate_combined_error_norm(
+                time_series_data, dt_used, integral_vars=ivars, all_variables=[var]
+            )
+
+    def __repr__(self):
+        per_var = {k: f"{v:.4e}" for k, v in self.per_variable_sup_errors.items()}
+        return (
+            f"NumericalErrorSummary(dt={self.dt_used:.2e}, "
+            f"OverallCombinedError={self.overall_combined_error:.4e}, "
+            f"PerVariableSupErrors={per_var})"
+        )
+
+
+class MMSTrial:
+    """One-call assembly of grid + model + MMS case + forcing + field +
+    integrator (reference ``MMSTrial``, src/mms_trial_utils.py:201-280)."""
+
+    def __init__(
+        self,
+        grid: Grid,
+        model,
+        mms_case_cls: Type,
+        field_cls: Type,
+        forcing_terms_cls: Type,
+        integrator_cls: Type,
+        mms_case_params: Optional[Dict] = None,
+        integrator_params: Optional[Dict] = None,
+        forcing_terms_params: Optional[Dict] = None,
+        field_params: Optional[Dict] = None,
+        variable_names: Optional[List[str]] = None,
+        integral_vars: Optional[List[str]] = None,
+        ops: Ops = LOCAL_OPS,
+    ):
+        self.grid = grid
+        self.model = model
+        self.ops = ops
+        self.variable_names = list(variable_names or ALL_VARIABLES)
+        self.integral_vars = list(integral_vars or DEFAULT_INTEGRAL_VARS)
+
+        self.mms_case = mms_case_cls(grid=grid, model=model, **(mms_case_params or {}))
+        self.forcing_terms = forcing_terms_cls(
+            mms_case=self.mms_case, model=model, **(forcing_terms_params or {})
+        )
+        self.field = field_cls(
+            grid=grid, model=model, forcing=self.forcing_terms, **(field_params or {})
+        )
+        self.integrator = integrator_cls(
+            semi_discrete_field=self.field, **(integrator_params or {})
+        )
+        self.initial_state = state_from_mms_when(mms_case=self.mms_case, t=0.0, grid=grid)
+
+    def run_for_errors(self, Tf: float, dt: float, t0: float = 0.0) -> NumericalErrorSummary:
+        series, dt_adj = run_simulation_collect_data(
+            grid=self.grid,
+            integrator=self.integrator,
+            exact_sol_pack=self.mms_case,
+            initial_state=self.initial_state,
+            Tf=Tf,
+            dt=dt,
+            t0=t0,
+            variable_names=self.variable_names,
+            integral_vars=self.integral_vars,
+            ops=self.ops,
+        )
+        return NumericalErrorSummary(
+            dt_used=dt_adj,
+            time_series_data=series,
+            variable_names=self.variable_names,
+            integral_vars=self.integral_vars,
+        )

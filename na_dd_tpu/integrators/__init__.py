@@ -1,0 +1,17 @@
+from na_dd_tpu.integrators.forward_euler import ForwardEulerIntegrator
+from na_dd_tpu.integrators.pc_trapezoidal import (
+    PCTrapezoidalBase,
+    PCTrapezoidalCsTriple,
+    PCTrapezoidalHCsTriple,
+    PCTrapezoidalRegHCsTriple,
+    HCsCorrectorPositivityError,
+)
+
+__all__ = [
+    "ForwardEulerIntegrator",
+    "PCTrapezoidalBase",
+    "PCTrapezoidalCsTriple",
+    "PCTrapezoidalHCsTriple",
+    "PCTrapezoidalRegHCsTriple",
+    "HCsCorrectorPositivityError",
+]

@@ -1,0 +1,287 @@
+"""Method-of-Manufactured-Solutions engine: SymPy exact solutions → JAX closures.
+
+The reference lambdifies SymPy expressions to NumPy and calls them from Python
+on every step (reference ``pack_symbolic_txy_with_derivatives`` /
+``MMSCaseSymbolic``, src/prob1base.py:1158-1487).  Here the one-time symbolic
+differentiation is identical, but lambdification targets **JAX**: the returned
+closures are pure jnp code, so exact-solution and forcing evaluation trace
+into the jitted step program and fuse with the stencil work — zero per-step
+Python/host cost.
+
+``DiracDelta`` (arising from differentiating ``Abs`` in the low-regularity
+cases) is numerically stubbed the same way as the reference
+(src/prob1base.py:1262): 1 within 1e-13 of zero, else 0.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict
+
+import jax.numpy as jnp
+import numpy as np
+import sympy
+
+from na_dd_tpu.core.state import State
+from na_dd_tpu.ops.grid import Grid
+
+# Shared symbols: 0 < t, 0 <= x, y <= 1.  The nonnegativity assumptions let
+# SymPy simplify |·| derivatives exactly like the reference
+# (src/prob1base.py:1164).
+t_sym, x_sym, y_sym = sympy.symbols("t x y", negative=False, real=True)
+
+_JAX_MODULES = [
+    {"DiracDelta": lambda arg: jnp.where(jnp.abs(arg) < 1e-13, 1.0, 0.0)},
+    "jax",
+]
+
+
+def _wrap_shape(raw: Callable) -> Callable:
+    """Broadcast constant/scalar lambdified results to the coordinate shape."""
+
+    def wrapped(t_num, x_num, y_num):
+        res = raw(t_num, x_num, y_num)
+        res = jnp.asarray(res, dtype=jnp.result_type(float))
+        return jnp.broadcast_to(res, jnp.shape(x_num))
+
+    return wrapped
+
+
+def pack_symbolic_txy_with_derivatives(
+    *,
+    base_expr: sympy.Expr,
+    t_var: sympy.Symbol = t_sym,
+    x_var: sympy.Symbol = x_sym,
+    y_var: sympy.Symbol = y_sym,
+) -> Dict[str, Callable]:
+    """Differentiate ``base_expr`` symbolically and lambdify to JAX.
+
+    Returns callables ``{base, dt, dtt, dx, dy, dxx, dyy, lap}``; each maps
+    (t, xx, yy) — t may be a traced scalar — to an array of xx's shape.
+    """
+    dt_expr = sympy.diff(base_expr, t_var)
+    exprs = {
+        "base": base_expr,
+        "dt": dt_expr,
+        "dtt": sympy.diff(dt_expr, t_var),
+        "dx": sympy.diff(base_expr, x_var),
+        "dy": sympy.diff(base_expr, y_var),
+    }
+    exprs["dxx"] = sympy.diff(exprs["dx"], x_var)
+    exprs["dyy"] = sympy.diff(exprs["dy"], y_var)
+    exprs["lap"] = exprs["dxx"] + exprs["dyy"]
+
+    out = {}
+    for name, expr in exprs.items():
+        raw = sympy.lambdify([t_var, x_var, y_var], expr, modules=_JAX_MODULES)
+        out[name] = _wrap_shape(raw)
+    return out
+
+
+class MMSCaseBase:
+    """Exact-solution protocol: values + analytic derivatives of the five
+    fields (reference ``MMSCaseBase``, src/prob1base.py:714-818)."""
+
+    def __init__(self, grid: Grid, model):
+        self._grid = grid
+        self._model = model
+
+    @property
+    def grid(self):
+        return self._grid
+
+    @property
+    def model(self):
+        return self._model
+
+
+_VARS = ("cp", "T", "cl", "cd", "cs")
+_DERIVS = {
+    "": "base",
+    "dt_": "dt",
+    "dtt_": "dtt",
+    "dx_": "dx",
+    "dy_": "dy",
+    "dxx_": "dxx",
+    "dyy_": "dyy",
+    "lap_": "lap",
+}
+
+
+class MMSCaseSymbolic(MMSCaseBase):
+    """MMS case defined by five SymPy expressions in (t, x, y)."""
+
+    def __init__(
+        self,
+        *,
+        grid: Grid,
+        model,
+        cp_sym_expr: sympy.Expr,
+        T_sym_expr: sympy.Expr,
+        cl_sym_expr: sympy.Expr,
+        cd_sym_expr: sympy.Expr,
+        cs_sym_expr: sympy.Expr,
+        t_var: sympy.Symbol = t_sym,
+        x_var: sympy.Symbol = x_sym,
+        y_var: sympy.Symbol = y_sym,
+    ):
+        super().__init__(grid, model)
+        pack_args = dict(t_var=t_var, x_var=x_var, y_var=y_var)
+        self._packs = {
+            "cp": pack_symbolic_txy_with_derivatives(base_expr=cp_sym_expr, **pack_args),
+            "T": pack_symbolic_txy_with_derivatives(base_expr=T_sym_expr, **pack_args),
+            "cl": pack_symbolic_txy_with_derivatives(base_expr=cl_sym_expr, **pack_args),
+            "cd": pack_symbolic_txy_with_derivatives(base_expr=cd_sym_expr, **pack_args),
+            "cs": pack_symbolic_txy_with_derivatives(base_expr=cs_sym_expr, **pack_args),
+        }
+        self._exprs = {
+            "cp": cp_sym_expr,
+            "T": T_sym_expr,
+            "cl": cl_sym_expr,
+            "cd": cd_sym_expr,
+            "cs": cs_sym_expr,
+        }
+
+    def pack(self, var: str) -> Dict[str, Callable]:
+        return self._packs[var]
+
+    def expr(self, var: str) -> sympy.Expr:
+        return self._exprs[var]
+
+
+def _install_symbolic_accessors():
+    """Generate cp/dt_cp/dx_cp/... accessor methods on MMSCaseSymbolic."""
+    for var in _VARS:
+        for prefix, key in _DERIVS.items():
+
+            def method(self, t, xx, yy, _var=var, _key=key):
+                return self._packs[_var][_key](t, xx, yy)
+
+            setattr(MMSCaseSymbolic, f"{prefix}{var}", method)
+
+
+_install_symbolic_accessors()
+
+
+def pack_analytical_txy_with_o2fdm_derivatives(
+    fn: Callable,
+    *,
+    default_eps: float = 1e-6,
+    time_stepping: str = "center",
+) -> Callable:
+    """Wrap a plain f(t, x, y) with O(2) finite-difference derivatives
+    (reference src/prob1base.py:895-1032).  Fallback for solutions that SymPy
+    cannot express; the wrapper is jnp-traceable."""
+
+    def dt1(t, x, y, eps):
+        if time_stepping == "forward":
+            return (-3 * fn(t, x, y) + 4 * fn(t + eps, x, y) - fn(t + 2 * eps, x, y)) / (2 * eps)
+        if time_stepping == "backward":
+            return (3 * fn(t, x, y) - 4 * fn(t - eps, x, y) + fn(t - 2 * eps, x, y)) / (2 * eps)
+        return (fn(t + eps, x, y) - fn(t - eps, x, y)) / (2 * eps)
+
+    def dt2(t, x, y, eps):
+        if time_stepping == "forward":
+            return (2 * fn(t, x, y) - 5 * fn(t + eps, x, y) + 4 * fn(t + 2 * eps, x, y) - fn(t + 3 * eps, x, y)) / (eps * eps)
+        if time_stepping == "backward":
+            return (2 * fn(t, x, y) - 5 * fn(t - eps, x, y) + 4 * fn(t - 2 * eps, x, y) - fn(t - 3 * eps, x, y)) / (eps * eps)
+        return (fn(t + eps, x, y) - 2 * fn(t, x, y) + fn(t - eps, x, y)) / (eps * eps)
+
+    if time_stepping not in ("forward", "center", "backward"):
+        raise ValueError("Invalid time stepping strategy")
+
+    def enhanced(t, x, y, *, d=(0, 0, 0), op=None, small_eps=None):
+        eps = small_eps or default_eps
+        if op is not None:
+            if op.lower() in ("laplacian", "lap"):
+                return (
+                    fn(t, x + eps, y)
+                    + fn(t, x - eps, y)
+                    + fn(t, x, y + eps)
+                    + fn(t, x, y - eps)
+                    - 4 * fn(t, x, y)
+                ) / (eps * eps)
+            raise ValueError(f"Unknown operator: {op}")
+        dt, dx, dy = d
+        if not all(v in (0, 1, 2) for v in d):
+            raise ValueError("Individual derivatives must be 0, 1, or 2")
+        if dt + dx + dy > 2:
+            raise ValueError("Combined derivative order must be 0, 1, or 2")
+        if dt == 1:
+            return dt1(t, x, y, eps)
+        if dt == 2:
+            return dt2(t, x, y, eps)
+        if dx == 1 and dy == 1:
+            return (
+                fn(t, x + eps, y + eps)
+                - fn(t, x + eps, y - eps)
+                - fn(t, x - eps, y + eps)
+                + fn(t, x - eps, y - eps)
+            ) / (4 * eps * eps)
+        if dx == 1:
+            return (fn(t, x + eps, y) - fn(t, x - eps, y)) / (2 * eps)
+        if dx == 2:
+            return (fn(t, x + eps, y) - 2 * fn(t, x, y) + fn(t, x - eps, y)) / (eps * eps)
+        if dy == 1:
+            return (fn(t, x, y + eps) - fn(t, x, y - eps)) / (2 * eps)
+        if dy == 2:
+            return (fn(t, x, y + eps) - 2 * fn(t, x, y) + fn(t, x, y - eps)) / (eps * eps)
+        return fn(t, x, y)
+
+    return enhanced
+
+
+class MMSCaseFromAnalytic(MMSCaseBase):
+    """MMS case from plain Python/jnp callables f(t, xx, yy) with FD
+    derivatives (reference ``MMSCaseFromAnalytic``, src/prob1base.py:1036-1155)."""
+
+    def __init__(self, model, *, grid: Grid, cp_base, T_base, cl_base, cd_base, cs_base):
+        super().__init__(grid, model)
+        self._ex = {
+            "cp": pack_analytical_txy_with_o2fdm_derivatives(cp_base),
+            "T": pack_analytical_txy_with_o2fdm_derivatives(T_base),
+            "cl": pack_analytical_txy_with_o2fdm_derivatives(cl_base),
+            "cd": pack_analytical_txy_with_o2fdm_derivatives(cd_base),
+            "cs": pack_analytical_txy_with_o2fdm_derivatives(cs_base),
+        }
+
+
+def _install_analytic_accessors():
+    specs = {
+        "": dict(d=(0, 0, 0)),
+        "dt_": dict(d=(1, 0, 0)),
+        "dx_": dict(d=(0, 1, 0)),
+        "dy_": dict(d=(0, 0, 1)),
+        "dxx_": dict(d=(0, 2, 0)),
+        "dyy_": dict(d=(0, 0, 2)),
+    }
+    for var in _VARS:
+        for prefix, kw in specs.items():
+
+            def method(self, t, xx, yy, _var=var, _kw=kw):
+                return self._ex[_var](t, xx, yy, **_kw)
+
+            setattr(MMSCaseFromAnalytic, f"{prefix}{var}", method)
+
+        def lap_method(self, t, xx, yy, _var=var):
+            return self._ex[_var](t, xx, yy, d=(0, 2, 0)) + self._ex[_var](
+                t, xx, yy, d=(0, 0, 2)
+            )
+
+        setattr(MMSCaseFromAnalytic, f"lap_{var}", lap_method)
+
+
+_install_analytic_accessors()
+
+
+def state_from_mms_when(*, mms_case, t, grid: Grid) -> State:
+    """Evaluate the exact solution at time t into a State
+    (reference src/prob1base.py:3433-3449)."""
+    xx, yy = grid.xx, grid.yy
+    return State(
+        cp=mms_case.cp(t, xx, yy),
+        T=mms_case.T(t, xx, yy),
+        cl=mms_case.cl(t, xx, yy),
+        cd=mms_case.cd(t, xx, yy),
+        cs=mms_case.cs(t, xx, yy),
+    )

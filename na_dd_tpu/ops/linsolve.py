@@ -1,0 +1,185 @@
+"""Matrix-free structured linear solvers for the implicit Newton steps.
+
+The reference assembles exact 5-diagonal sparse Jacobians from hand-derived
+stencil-derivative tables and factorizes them with SuperLU
+(``FiveDiagonalsMatrixFactory`` + ``spsolve``, reference src/prob1base.py:
+601-710, 2088-2130).  On TPU a sparse direct factorization is the wrong shape:
+it is sequential, irregular, and leaves the vector units idle.
+
+Instead we keep the Jacobian *implicit*:
+
+* the matrix-vector product is ``w -> interior_mask * (2w - dt * F_lin(w))``
+  where ``F_lin = jax.linearize(residual)`` — the exact Jacobian of the
+  discrete residual, no hand-derived stencil tables needed;
+* the 5-point-stencil structure lets us extract the exact matrix diagonal with
+  two probing products on a red/black checkerboard (distance-1 stencils never
+  couple equal-parity nodes), giving a free Jacobi preconditioner;
+* the system is solved with preconditioned BiCGStab (handles the
+  non-symmetric advection block) to near machine precision.
+
+The systems are extremely well conditioned: J = 2I - dt·∂F with
+dt·‖∂F‖ = O(dt·D/h²) ≲ O(1) for every study in BASELINE.md, so BiCGStab
+converges in a handful of iterations — each iteration being two fused stencil
+sweeps, ideal for the VPU.  All reductions go through ``dot`` so the same
+solver runs inside ``shard_map`` (where dots psum over the mesh).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from na_dd_tpu.ops.grid import Grid
+from na_dd_tpu.ops.shifts import Ops
+
+
+def checkerboard_masks(g: Grid):
+    """Red/black parity masks for diagonal probing.
+
+    Read from the grid's precomputed global-parity array so the masks stay
+    correct on sharded blocks (where local index != global index).
+    """
+    return g.red_mask, 1.0 - g.red_mask
+
+
+def probe_diag(matvec, red, black):
+    """Exact diagonal of a 5-point-stencil operator via 2-color probing.
+
+    For an operator whose row (i,j) only couples nodes at Manhattan distance
+    <= 1, nodes of equal (i+j)-parity never interact, so
+    ``diag = Σ_c (A 1_c) ⊙ 1_c`` over the two parities.
+    """
+    return matvec(red) * red + matvec(black) * black
+
+
+def bicgstab(
+    matvec,
+    b,
+    x0,
+    *,
+    dot,
+    minv=None,
+    tol: float = 1e-13,
+    atol: float = 0.0,
+    maxiter: int = 200,
+):
+    """Preconditioned BiCGStab on grid-function arrays.
+
+    Args:
+        matvec: linear operator A (must preserve the zero-boundary subspace).
+        b: right-hand side.
+        x0: initial guess.
+        dot: inner product (``lambda u, v: ops.asum(u * v)``) — psum-aware
+            under sharding.
+        minv: optional left preconditioner application (e.g. Jacobi
+            ``lambda r: r * inv_diag``).
+        tol/atol: stop when ||r||₂ <= max(tol*||b||₂, atol).
+        maxiter: hard iteration cap (while_loop bound).
+
+    Returns:
+        (x, info) where info is a dict with ``iters`` and ``resnorm_sq``.
+    """
+    if minv is None:
+        minv = lambda r: r
+
+    eps_div = jnp.asarray(1e-300, dtype=b.dtype)
+
+    def safe_div(num, den):
+        den_ok = jnp.abs(den) > eps_div
+        return jnp.where(den_ok, num / jnp.where(den_ok, den, 1.0), 0.0), den_ok
+
+    r0 = b - matvec(x0)
+    bnorm_sq = dot(b, b)
+    tol_sq = jnp.maximum(tol * tol * bnorm_sq, atol * atol)
+
+    def cond(carry):
+        (x, r, rhat, p, v, rho, alpha, omega, k, done) = carry
+        return jnp.logical_and(k < maxiter, jnp.logical_not(done))
+
+    def body(carry):
+        (x, r, rhat, p, v, rho, alpha, omega, k, done) = carry
+        rho1 = dot(rhat, r)
+        ratio, ok1 = safe_div(rho1, rho)
+        aw, ok2 = safe_div(alpha, omega)
+        beta = ratio * aw
+        p = r + beta * (p - omega * v)
+        phat = minv(p)
+        v = matvec(phat)
+        alpha, ok3 = safe_div(rho1, dot(rhat, v))
+        s = r - alpha * v
+        x_half = x + alpha * phat
+        s_sq = dot(s, s)
+        s_conv = s_sq <= tol_sq
+
+        shat = minv(s)
+        t = matvec(shat)
+        omega, ok4 = safe_div(dot(t, s), dot(t, t))
+        x_full = x_half + omega * shat
+        r_new = s - omega * t
+
+        x = jnp.where(s_conv, x_half, x_full)
+        r = jnp.where(s_conv, s, r_new)
+        breakdown = jnp.logical_not(ok1 & ok2 & ok3 & ok4)
+        converged = dot(r, r) <= tol_sq
+        done = s_conv | converged | breakdown
+        return (x, r, rhat, p, v, rho1, alpha, omega, k + 1, done)
+
+    z = jnp.zeros_like(b)
+    one = jnp.asarray(1.0, dtype=b.dtype)
+    init = (x0, r0, r0, z, z, one, one, one, jnp.asarray(0), dot(r0, r0) <= tol_sq)
+    (x, r, *_rest, k, _done) = jax.lax.while_loop(cond, body, init)
+    return x, {"iters": k, "resnorm_sq": dot(r, r)}
+
+
+def interior_linearized_matvec(residual_fn, u0, g: Grid, dt):
+    """Build the Newton matvec ``w -> interior_mask*(2w - dt*J_F[u0] w)``.
+
+    ``residual_fn(u)`` must be the semi-discrete field evaluated as a function
+    of the single unknown ``u`` (other state components frozen).  Returns
+    (F(u0), matvec).  This is the exact operator the reference assembles as a
+    5-diagonal CSR matrix (reference src/prob1base.py:3011-3023), restricted
+    to the interior subspace.
+    """
+    f0, f_lin = jax.linearize(residual_fn, u0)
+
+    def matvec(w):
+        wm = w * g.interior_mask
+        return (2.0 * wm - dt * f_lin(wm)) * g.interior_mask
+
+    return f0, matvec
+
+
+def newton_inner_solve(
+    residual_fn,
+    u0,
+    rhs,
+    g: Grid,
+    ops: Ops,
+    dt,
+    *,
+    red,
+    black,
+    tol: float = 1e-13,
+    maxiter: int = 200,
+):
+    """Solve ``interior[(2I - dt·J_F[u0])] Δ = rhs`` for the Newton update.
+
+    Returns (F(u0), Δ, info); Δ is zero on the boundary.  Counterpart of the
+    reference's ``basic_inner_newton_step`` / ``newton_step_inner_Fx_eq_C``
+    (src/prob1base.py:2088-2130) with the LU solve replaced by matrix-free
+    Jacobi-BiCGStab.
+    """
+    f0, matvec = interior_linearized_matvec(residual_fn, u0, g, dt)
+    diag = probe_diag(matvec, red * g.interior_mask, black * g.interior_mask)
+    # Off-interior rows of the operator are identically zero; give them unit
+    # diagonal so the Jacobi sweep is a no-op there.
+    inv_diag = jnp.where(g.interior_mask > 0, 1.0 / jnp.where(diag == 0, 1.0, diag), 0.0)
+    minv = lambda r: r * inv_diag
+    dot = lambda u, v: ops.asum(u * v)
+    b = rhs * g.interior_mask
+    delta, info = bicgstab(
+        matvec, b, jnp.zeros_like(b), dot=dot, minv=minv, tol=tol, maxiter=maxiter
+    )
+    return f0, delta * g.interior_mask, info

@@ -1,0 +1,101 @@
+"""Sharded whole-step / whole-simulation builders.
+
+The physics code (fields, integrators, Krylov solves, error norms) is written
+against the shift/sum Ops protocol, so sharding it is purely a matter of
+running it inside ``jax.shard_map`` with :class:`HaloOps` — stencil halos ride
+ICI via ``ppermute`` and every reduction (Krylov dot products, error norms)
+becomes a ``psum``.  No algorithmic change, no accuracy change.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from na_dd_tpu.parallel.halo import HaloOps
+from na_dd_tpu.parallel.sharding import grid_pspec
+
+# late import to avoid a cycle: harness imports integrators only.
+
+
+def _make_halo_ops(mesh, axis_x, axis_y):
+    nx = mesh.shape[axis_x] if axis_x else 1
+    ny = mesh.shape[axis_y] if axis_y else 1
+    return HaloOps(
+        axis_x=axis_x if nx > 1 else None,
+        nx=nx,
+        axis_y=axis_y if ny > 1 else None,
+        ny=ny,
+    )
+
+
+def build_sharded_step(integrator, mesh, *, axis_x="x", axis_y=None):
+    """Jitted (grid, state, t, dt) -> (state', diag_scalars) over the mesh."""
+    from na_dd_tpu.harness.trial import _scan_step
+
+    hops = _make_halo_ops(mesh, axis_x, axis_y)
+    spec = grid_pspec(axis_x, axis_y)
+
+    def raw(g, s, t, dt):
+        return _scan_step(integrator, g, hops, s, t, dt)
+
+    sharded = jax.shard_map(
+        raw,
+        mesh=mesh,
+        in_specs=(spec, spec, P(), P()),
+        out_specs=(spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def build_sharded_simulation(
+    integrator,
+    mesh,
+    *,
+    mms_case,
+    num_steps: int,
+    t0: float,
+    dt: float,
+    variable_names=("cp", "T", "cl", "cd", "cs"),
+    integral_vars=("T", "cl", "cd"),
+    axis_x="x",
+    axis_y=None,
+):
+    """Jitted (grid, state0) -> (state_final, error arrays) over the mesh.
+
+    The whole num_steps scan — integration and error collection — runs inside
+    one shard_map region, so per-step host round-trips are zero and all
+    cross-shard traffic is nearest-neighbor halos + scalar psums.
+    """
+    from na_dd_tpu.harness.trial import _collect_errors, _scan_step
+
+    hops = _make_halo_ops(mesh, axis_x, axis_y)
+    spec = grid_pspec(axis_x, axis_y)
+    variable_names = tuple(variable_names)
+    integral_vars = tuple(integral_vars)
+
+    def sim(g, s0):
+        h0, g0 = _collect_errors(g, hops, mms_case, s0, t0, variable_names, integral_vars)
+
+        def body(s, k):
+            t_k = t0 + k * dt
+            s1, small = _scan_step(integrator, g, hops, s, t_k, dt)
+            h_sq, grad_sq = _collect_errors(
+                g, hops, mms_case, s1, t_k + dt, variable_names, integral_vars
+            )
+            return s1, (h_sq, grad_sq, small)
+
+        ks = jnp.arange(num_steps, dtype=jnp.result_type(float))
+        s_final, ys = jax.lax.scan(body, s0, ks)
+        return s_final, (h0, g0, ys)
+
+    sharded = jax.shard_map(
+        sim,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
