@@ -62,14 +62,14 @@ def _collect_errors(g: Grid, ops: Ops, mms_case, s: State, t, variable_names, in
 def _scan_step(integrator, g, ops, s, t, dt):
     """Uniform (state, small-diagnostics) step wrapper for scan bodies."""
     out = integrator.step_fn(g, ops, s, t, dt)
-    if isinstance(out, tuple):
-        s1, diag = out
-        small = {
-            "hcs_ok": diag.hcs_denominator_ok,
-            "krylov_iters": diag.krylov_iters,
-        }
-        return s1, small
-    return out, {"hcs_ok": jnp.asarray(True), "krylov_iters": jnp.asarray(0)}
+    if isinstance(out, State):  # integrators without diagnostics (e.g. FE)
+        return out, {"hcs_ok": jnp.asarray(True), "krylov_iters": jnp.asarray(0)}
+    s1, diag = out
+    small = {
+        "hcs_ok": diag.hcs_denominator_ok,
+        "krylov_iters": diag.krylov_iters,
+    }
+    return s1, small
 
 
 def run_simulation_collect_data(

@@ -1,0 +1,140 @@
+"""Multi-chip path tests on the 8-virtual-device CPU mesh: halo-exchange
+shifts, sharded step, and sharded whole-simulation must match the local
+implementation to machine precision."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from na_dd_tpu.core import FieldRegHCsTriple, MMSForcingRegHCsTriple, State
+from na_dd_tpu.integrators import PCTrapezoidalRegHCsTriple
+from na_dd_tpu.mms import state_from_mms_when
+from na_dd_tpu.mms.cases import MMSCasePol
+from na_dd_tpu.models import Model02, default_model_consts
+from na_dd_tpu.ops import LOCAL_OPS, make_grid
+from na_dd_tpu.parallel import (
+    HaloOps,
+    build_sharded_simulation,
+    build_sharded_step,
+    make_mesh,
+    shard_grid_and_state,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _mk(N=15, M=15):
+    g = make_grid(np.linspace(0, 1, N + 1), np.linspace(0, 1, M + 1))
+    model = Model02(default_model_consts)
+    mms = MMSCasePol(g, model=model)
+    forcing = MMSForcingRegHCsTriple(mms_case=mms, model=model, regularization_factor=50.0)
+    field = FieldRegHCsTriple(grid=g, model=model, forcing=forcing, regularization_factor=50.0)
+    integ = PCTrapezoidalRegHCsTriple(field, regularization_factor=50.0, num_newton_steps=2)
+    s0 = state_from_mms_when(mms_case=mms, t=0.0, grid=g)
+    return g, model, mms, integ, s0
+
+
+@pytest.mark.parametrize("axis", ["x", "y"])
+def test_halo_shifts_match_local(axis):
+    rng = np.random.RandomState(3)
+    u = jnp.asarray(rng.rand(16, 16))
+    mesh = make_mesh((8,), (axis,))
+    spec = P(axis, None) if axis == "x" else P(None, axis)
+    hops = HaloOps(
+        axis_x=axis if axis == "x" else None,
+        nx=8 if axis == "x" else 1,
+        axis_y=axis if axis == "y" else None,
+        ny=8 if axis == "y" else 1,
+    )
+
+    def f(u):
+        return (
+            hops.shift_xm(u),
+            hops.shift_xp(u),
+            hops.shift_ym(u),
+            hops.shift_yp(u),
+            hops.asum(u * u),
+        )
+
+    sharded = jax.jit(
+        jax.shard_map(f, mesh=mesh, in_specs=(spec,), out_specs=(spec, spec, spec, spec, P()), check_vma=False)
+    )
+    got = sharded(jax.device_put(u, jax.sharding.NamedSharding(mesh, spec)))
+    expect = (
+        LOCAL_OPS.shift_xm(u),
+        LOCAL_OPS.shift_xp(u),
+        LOCAL_OPS.shift_ym(u),
+        LOCAL_OPS.shift_yp(u),
+        LOCAL_OPS.asum(u * u),
+    )
+    for a, b in zip(got[:4], expect[:4]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # reductions differ only by summation order (psum of partials)
+    assert float(got[4]) == pytest.approx(float(expect[4]), rel=1e-13)
+
+
+def test_2d_mesh_halo_shifts():
+    rng = np.random.RandomState(4)
+    u = jnp.asarray(rng.rand(8, 12))
+    mesh = make_mesh((4, 2), ("x", "y"))
+    spec = P("x", "y")
+    hops = HaloOps(axis_x="x", nx=4, axis_y="y", ny=2)
+
+    def f(u):
+        return hops.shift_xm(u) + hops.shift_yp(u), hops.asum(u)
+
+    sharded = jax.jit(
+        jax.shard_map(f, mesh=mesh, in_specs=(spec,), out_specs=(spec, P()), check_vma=False)
+    )
+    got_arr, got_sum = sharded(jax.device_put(u, jax.sharding.NamedSharding(mesh, spec)))
+    expect = LOCAL_OPS.shift_xm(u) + LOCAL_OPS.shift_yp(u)
+    assert np.array_equal(np.asarray(got_arr), np.asarray(expect))
+    assert np.asarray(got_sum) == pytest.approx(float(jnp.sum(u)), rel=1e-14)
+
+
+def test_sharded_step_matches_local():
+    g, model, mms, integ, s0 = _mk()
+    s1_local = integ.step(s0, t0=0.0, dt=1e-3)
+
+    mesh = make_mesh((8,), ("x",))
+    gs, ss = shard_grid_and_state(mesh, g, s0)
+    step = build_sharded_step(integ, mesh)
+    s1_sh, diag = step(gs, ss, 0.0, 1e-3)
+    for v in State._fields:
+        d = np.max(np.abs(np.asarray(getattr(s1_local, v)) - np.asarray(getattr(s1_sh, v))))
+        assert d < 1e-13, f"{v}: {d}"
+    assert bool(diag["hcs_ok"])
+
+
+def test_sharded_simulation_matches_local():
+    from na_dd_tpu.harness import run_simulation_collect_data
+
+    g, model, mms, integ, s0 = _mk()
+    num_steps, dt = 5, 1e-3
+
+    series, dt_adj = run_simulation_collect_data(
+        grid=g,
+        integrator=integ,
+        exact_sol_pack=mms,
+        initial_state=s0,
+        Tf=num_steps * dt,
+        dt=dt,
+        variable_names=list(State._fields),
+        integral_vars=["T", "cl", "cd"],
+    )
+
+    mesh = make_mesh((8,), ("x",))
+    gs, ss = shard_grid_and_state(mesh, g, s0)
+    sim = build_sharded_simulation(
+        integ, mesh, mms_case=mms, num_steps=num_steps, t0=0.0, dt=dt
+    )
+    _s_final, (h0, g0, ys) = sim(gs, ss)
+    h_sq, grad_sq, _small = ys
+    for v in State._fields:
+        local_h = series.h_norm_sq_errors[v]
+        sharded_h = np.concatenate([[float(h0[v])], np.asarray(h_sq[v])])
+        np.testing.assert_allclose(sharded_h, local_h, rtol=1e-12, atol=1e-300)
