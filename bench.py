@@ -21,6 +21,10 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+from na_dd_tpu.config import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
+
 from na_dd_tpu.core import FieldRegHCsTriple, MMSForcingRegHCsTriple
 from na_dd_tpu.harness import MMSTrial
 from na_dd_tpu.integrators import PCTrapezoidalRegHCsTriple

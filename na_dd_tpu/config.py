@@ -8,8 +8,26 @@ emulated f64 is acceptable; a f32 fast path can be selected per-simulation via
 the ``dtype`` arguments where offered.
 """
 
+import os
+
 import jax
 
 
 def setup_x64() -> None:
     jax.config.update("jax_enable_x64", True)
+
+
+def enable_persistent_compilation_cache(path: str | None = None) -> None:
+    """Enable the on-disk XLA compilation cache.
+
+    The TPU backend here compiles f64-emulated programs slowly (minutes for
+    the fused whole-simulation program); the persistent cache makes repeat
+    runs (benchmarks, study ladders re-run across processes) start in seconds.
+    """
+    if path is None:
+        path = os.environ.get(
+            "NA_DD_TPU_CACHE", os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+        )
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(path))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""CLI replacement for the six reference convergence-study notebooks.
+
+Examples:
+    python studies/run_study.py --study expsin --kind spatial --levels 6
+    python studies/run_study.py --study pol --kind temporal
+    python studies/run_study.py --study pol --kind eta
+    python studies/run_study.py --all --levels 8        # full reproduction
+
+Results are printed and archived as JSON under studies/results/.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+from na_dd_tpu.harness.rates import report_on_rates
+from na_dd_tpu.harness.studies import (
+    STUDIES,
+    run_eta_study,
+    run_spatial_study,
+    run_temporal_study,
+)
+
+RESULTS_DIR = os.path.join(os.path.dirname(__file__), "results")
+
+
+def _save(result: dict):
+    os.makedirs(RESULTS_DIR, exist_ok=True)
+    path = os.path.join(
+        RESULTS_DIR, f"{result['study']}_{result['kind']}_{int(time.time())}.json"
+    )
+    with open(path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(f"saved -> {path}")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--study", choices=sorted(STUDIES), default="expsin")
+    p.add_argument("--kind", choices=["spatial", "temporal", "eta"], default="spatial")
+    p.add_argument("--levels", type=int, default=None, help="ladder depth override")
+    p.add_argument("--all", action="store_true", help="run all six studies, all kinds")
+    p.add_argument("--expected-rate", type=float, default=2.0)
+    args = p.parse_args()
+
+    def run_one(study, kind, levels):
+        print(f"\n===== {study} / {kind} =====")
+        if kind == "spatial":
+            res = run_spatial_study(study, levels=levels or 8)
+        elif kind == "temporal":
+            res = run_temporal_study(study, levels=levels)
+        else:
+            res = run_eta_study(study)
+        if kind in ("spatial", "temporal") and len(res["errors"]) >= 3:
+            report_on_rates(
+                res["errors"],
+                expected_rate=args.expected_rate,
+                tolerance=0.3,
+                title=f"{study} {kind} rates",
+            )
+        _save(res)
+        return res
+
+    if args.all:
+        for study in STUDIES:
+            for kind in ("spatial", "temporal", "eta"):
+                run_one(study, kind, args.levels)
+    else:
+        run_one(args.study, args.kind, args.levels)
+
+
+if __name__ == "__main__":
+    main()
