@@ -75,7 +75,9 @@ def main():
         PCTrapezoidalRegHCsTriple,
         forcing_terms_params=dict(regularization_factor=eta),
         field_params=dict(regularization_factor=eta),
-        integrator_params=dict(regularization_factor=eta, track_residuals=False),
+        integrator_params=dict(
+            regularization_factor=eta, track_residuals=False, krylov_unroll=16
+        ),
     )
 
     # First call compiles + runs; second call measures steady-state.

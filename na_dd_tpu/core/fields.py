@@ -169,9 +169,10 @@ class FieldRegHCsTriple(Field01Base):
     """[Cs-Cd-int] = Kd (Sd - cd)(1 + cl) H_eta(cs)
     (reference src/prob1base.py:3553-3593) — the paper's headline scheme."""
 
-    def __init__(self, *, grid: Grid, model: Model01, forcing, regularization_factor: float):
+    def __init__(self, *, grid: Grid, model: Model01, forcing, regularization_factor):
         super().__init__(grid=grid, model=model, forcing=forcing)
-        self.regularization_factor = float(regularization_factor)
+        # May be a Python float or a traced scalar (vmapped eta studies).
+        self.regularization_factor = regularization_factor
 
     def cscd_reaction_cs(self, cs):
         return self.model.Kd * heaviside_regularized(cs, self.regularization_factor)

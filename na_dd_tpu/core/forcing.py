@@ -184,9 +184,10 @@ class MMSForcingHCsTriple(MMSForcingCsTriple):
 class MMSForcingRegHCsTriple(MMSForcingCsTriple):
     """Regularized-Heaviside reaction (reference src/prob1base.py:3468-3551)."""
 
-    def __init__(self, *, mms_case, model: Model01, regularization_factor: float):
+    def __init__(self, *, mms_case, model: Model01, regularization_factor):
         super().__init__(mms_case=mms_case, model=model)
-        self.regularization_factor = float(regularization_factor)
+        # May be a Python float or a traced scalar (vmapped eta studies).
+        self.regularization_factor = regularization_factor
 
     def _cs_reaction_factor(self, cs):
         return heaviside_regularized(cs, self.regularization_factor)

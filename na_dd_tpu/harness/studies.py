@@ -85,7 +85,30 @@ STUDIES: Dict[str, dict] = {
 }
 
 
-def _make_trial(case_cls, N: int, eta: float, *, track_residuals=False) -> MMSTrial:
+def choose_krylov_unroll(N: int, dt: float, mc: ModelConsts = STUDY_MODEL_CONSTS):
+    """Pick the unrolled-BiCGStab iteration budget from the stiffness number
+    s = 4 dt D_max / h² of the trapezoidal Jacobian J = 2I - dt·L.
+
+    For small s the solve converges in a handful of iterations and a fully
+    unrolled straight-line solver avoids while_loop latency (the dominant
+    per-step cost on TPU); for stiff ladders fall back to the while_loop
+    solver (None).  The early-exit masking makes any sufficient budget exact.
+    """
+    h = 1.0 / N
+    d_max = max(mc.DT, mc.Dl_max, mc.Dd_max)
+    s = 4.0 * dt * d_max / (h * h)
+    if s <= 1.0:
+        return 16
+    if s <= 8.0:
+        return 32
+    if s <= 64.0:
+        return 64
+    return None  # while_loop with maxiter
+
+
+def _make_trial(
+    case_cls, N: int, eta: float, *, track_residuals=False, krylov_unroll=16
+) -> MMSTrial:
     grid = make_uniform_grid(N, N)
     model = Model02(STUDY_MODEL_CONSTS)
     return MMSTrial(
@@ -97,7 +120,11 @@ def _make_trial(case_cls, N: int, eta: float, *, track_residuals=False) -> MMSTr
         PCTrapezoidalRegHCsTriple,
         forcing_terms_params=dict(regularization_factor=eta),
         field_params=dict(regularization_factor=eta),
-        integrator_params=dict(regularization_factor=eta, track_residuals=track_residuals),
+        integrator_params=dict(
+            regularization_factor=eta,
+            track_residuals=track_residuals,
+            krylov_unroll=krylov_unroll,
+        ),
     )
 
 
@@ -118,7 +145,7 @@ def run_spatial_study(
     for k in range(levels):
         N = base_N * 2**k
         dt = (1.0 / N) ** 1.5
-        trial = _make_trial(cfg["case_cls"], N, eta)
+        trial = _make_trial(cfg["case_cls"], N, eta, krylov_unroll=choose_krylov_unroll(N, dt))
         t0 = time.perf_counter()
         summary = trial.run_for_errors(Tf=Tf, dt=dt)
         elapsed = time.perf_counter() - t0
@@ -154,7 +181,10 @@ def run_temporal_study(
     levels = levels or tcfg["levels"]
     N = tcfg["N"]
     Tf = tcfg["Tf"]
-    trial = _make_trial(cfg["case_cls"], N, eta)
+    # the coarsest dt level is the stiffest; one budget serves the ladder
+    trial = _make_trial(
+        cfg["case_cls"], N, eta, krylov_unroll=choose_krylov_unroll(N, tcfg["base_dt"])
+    )
     errors: List[float] = []
     times: List[float] = []
     dts: List[float] = []
@@ -183,6 +213,113 @@ def run_temporal_study(
     )
 
 
+def run_eta_study_batched(
+    study: str,
+    *,
+    N: int = 32,
+    dt: float = 5e-4,
+    Tf: float = 0.01,
+    etas: Optional[List[float]] = None,
+    verbose: bool = True,
+) -> dict:
+    """TPU-native regularization sweep: all eta values integrate **in one
+    vmapped XLA program** (the reference loops them serially,
+    notebook cell 13).  Exactness: the unrolled BiCGStab and the unrolled
+    pointwise cs-Newton use pure where-masked early exits, so vmap batching is
+    bit-identical to the serial runs.
+    """
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from na_dd_tpu.core import FieldRegHCsTriple as _Field
+    from na_dd_tpu.core import MMSForcingRegHCsTriple as _Forcing
+    from na_dd_tpu.harness.trial import (
+        ALL_VARIABLES,
+        DEFAULT_INTEGRAL_VARS,
+        ErrorTimeSeries,
+        NumericalErrorSummary,
+        _collect_errors,
+    )
+    from na_dd_tpu.mms import state_from_mms_when
+    from na_dd_tpu.ops.shifts import LOCAL_OPS
+
+    cfg = STUDIES[study]
+    etas = etas or ETA_LADDER
+    grid = make_uniform_grid(N, N)
+    model = Model02(STUDY_MODEL_CONSTS)
+    case = cfg["case_cls"](grid=grid, model=model)
+    s0 = state_from_mms_when(mms_case=case, t=0.0, grid=grid)
+    num_steps = math.ceil(Tf / dt)
+    dt_adj = Tf / num_steps
+    unroll = choose_krylov_unroll(N, dt_adj) or 64
+
+    def simulate_one(eta):
+        forcing = _Forcing(mms_case=case, model=model, regularization_factor=eta)
+        field = _Field(grid=grid, model=model, forcing=forcing, regularization_factor=eta)
+        integ = PCTrapezoidalRegHCsTriple(
+            field,
+            regularization_factor=eta,
+            track_residuals=False,
+            krylov_unroll=unroll,
+        )
+
+        def body(s, k):
+            t_k = k * dt_adj
+            s1, _diag = integ.step_fn(grid, LOCAL_OPS, s, t_k, dt_adj)
+            h_sq, grad_sq = _collect_errors(
+                grid, LOCAL_OPS, case, s1, t_k + dt_adj, ALL_VARIABLES, DEFAULT_INTEGRAL_VARS
+            )
+            return s1, (h_sq, grad_sq)
+
+        h0, g0 = _collect_errors(
+            grid, LOCAL_OPS, case, s0, 0.0, ALL_VARIABLES, DEFAULT_INTEGRAL_VARS
+        )
+        ks = jnp.arange(num_steps, dtype=jnp.result_type(float))
+        _s_final, (h_sq, grad_sq) = jax.lax.scan(body, s0, ks)
+        return h0, g0, h_sq, grad_sq
+
+    t0 = time.perf_counter()
+    h0, g0, h_sq, grad_sq = jax.jit(jax.vmap(simulate_one))(
+        jnp.asarray(etas, dtype=jnp.result_type(float))
+    )
+    jax.block_until_ready(h_sq)
+    elapsed = time.perf_counter() - t0
+
+    import numpy as np
+
+    errors = []
+    for i, eta in enumerate(etas):
+        series = ErrorTimeSeries(
+            t=dt_adj * np.arange(num_steps + 1),
+            h_norm_sq_errors={
+                v: np.concatenate([[float(h0[v][i])], np.asarray(h_sq[v][i])])
+                for v in ALL_VARIABLES
+            },
+            grad_h_norm_p_sq_errors={
+                v: np.concatenate([[float(g0[v][i])], np.asarray(grad_sq[v][i])])
+                for v in ALL_VARIABLES
+            },
+        )
+        summ = NumericalErrorSummary(dt_adj, series, list(ALL_VARIABLES), list(DEFAULT_INTEGRAL_VARS))
+        errors.append(summ.overall_combined_error)
+        if verbose:
+            print(f"  [eta-batched {study}] eta={eta:7.1f} err={errors[-1]:.6e}")
+    if verbose:
+        print(f"  [eta-batched {study}] total wall-clock {elapsed:.2f}s for {len(etas)} runs")
+    return dict(
+        study=study,
+        kind="eta_batched",
+        N=N,
+        dt=dt_adj,
+        Tf=Tf,
+        etas=list(etas),
+        errors=errors,
+        wallclock_s=[elapsed],
+    )
+
+
 def run_eta_study(
     study: str,
     *,
@@ -198,7 +335,7 @@ def run_eta_study(
     errors: List[float] = []
     times: List[float] = []
     for eta in etas:
-        trial = _make_trial(cfg["case_cls"], N, eta)
+        trial = _make_trial(cfg["case_cls"], N, eta, krylov_unroll=choose_krylov_unroll(N, dt))
         t0 = time.perf_counter()
         summary = trial.run_for_errors(Tf=Tf, dt=dt)
         elapsed = time.perf_counter() - t0

@@ -63,11 +63,16 @@ def _scan_step(integrator, g, ops, s, t, dt):
     """Uniform (state, small-diagnostics) step wrapper for scan bodies."""
     out = integrator.step_fn(g, ops, s, t, dt)
     if isinstance(out, State):  # integrators without diagnostics (e.g. FE)
-        return out, {"hcs_ok": jnp.asarray(True), "krylov_iters": jnp.asarray(0)}
+        return out, {
+            "hcs_ok": jnp.asarray(True),
+            "krylov_iters": jnp.asarray(0),
+            "krylov_resnorm_sq": jnp.asarray(0.0),
+        }
     s1, diag = out
     small = {
         "hcs_ok": diag.hcs_denominator_ok,
         "krylov_iters": diag.krylov_iters,
+        "krylov_resnorm_sq": diag.krylov_resnorm_sq,
     }
     return s1, small
 
@@ -95,24 +100,39 @@ def run_simulation_collect_data(
     variable_names = tuple(variable_names)
     integral_vars = tuple(integral_vars)
 
-    def collect(s, t):
-        return _collect_errors(grid, ops, exact_sol_pack, s, t, variable_names, integral_vars)
+    # Memoize the traced+compiled simulation on the integrator: t0 and dt are
+    # traced arguments, so temporal ladders with equal num_steps and repeated
+    # runs (benchmarks) skip both re-tracing and re-compilation.
+    cache = getattr(integrator, "_sim_cache", None)
+    if cache is None:
+        cache = {}
+        integrator._sim_cache = cache
+    key = (id(grid), id(exact_sol_pack), id(ops), num_steps, variable_names, integral_vars)
+    simulate = cache.get(key)
+    if simulate is None:
 
-    def body(carry, k):
-        s = carry
-        t_k = t0 + k * dt_adj
-        s1, small = _scan_step(integrator, grid, ops, s, t_k, dt_adj)
-        h_sq, grad_sq = collect(s1, t_k + dt_adj)
-        return s1, (h_sq, grad_sq, small)
+        def collect(s, t):
+            return _collect_errors(
+                grid, ops, exact_sol_pack, s, t, variable_names, integral_vars
+            )
 
-    @jax.jit
-    def simulate(s0):
-        h0, g0 = collect(s0, t0)
-        ks = jnp.arange(num_steps, dtype=jnp.result_type(float))
-        s_final, (h_sq, grad_sq, small) = jax.lax.scan(body, s0, ks)
-        return h0, g0, h_sq, grad_sq, small, s_final
+        @jax.jit
+        def simulate(s0, t0_tr, dt_tr):
+            def body(carry, k):
+                s = carry
+                t_k = t0_tr + k * dt_tr
+                s1, small = _scan_step(integrator, grid, ops, s, t_k, dt_tr)
+                h_sq, grad_sq = collect(s1, t_k + dt_tr)
+                return s1, (h_sq, grad_sq, small)
 
-    h0, g0, h_sq, grad_sq, small, _s_final = simulate(initial_state)
+            h0, g0 = collect(s0, t0_tr)
+            ks = jnp.arange(num_steps, dtype=jnp.result_type(float))
+            s_final, (h_sq, grad_sq, small) = jax.lax.scan(body, s0, ks)
+            return h0, g0, h_sq, grad_sq, small, s_final
+
+        cache[key] = simulate
+
+    h0, g0, h_sq, grad_sq, small, _s_final = simulate(initial_state, t0, dt_adj)
 
     if not bool(np.all(np.asarray(small["hcs_ok"]))):
         raise HCsCorrectorPositivityError(

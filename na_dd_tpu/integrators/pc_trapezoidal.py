@@ -59,6 +59,7 @@ class StepDiagnostics(NamedTuple):
     residual_cl: jax.Array
     residual_cd: jax.Array
     krylov_iters: jax.Array  # total BiCGStab iterations in the step
+    krylov_resnorm_sq: jax.Array  # worst linear-solve residual (2-norm²)
     hcs_denominator_ok: jax.Array  # False only for the HCs variant failure mode
 
 
@@ -76,8 +77,14 @@ class PCTrapezoidalBase:
         num_newton_steps: int = 1,
         krylov_tol: float = 1e-13,
         krylov_maxiter: int = 300,
+        krylov_unroll: int | None = None,
         track_residuals: bool = True,
     ):
+        """krylov_unroll: if set, use the fully-unrolled BiCGStab with that
+        many straight-line iterations (early-exit masked) instead of the
+        while_loop solver — much lower latency per step on TPU; requires the
+        system to converge within that budget (all study protocols do; the
+        Newton-residual tests hold at the default of 16)."""
         self.semi_discrete_field = semi_discrete_field
         self._model = semi_discrete_field.model
         self._grid = semi_discrete_field.grid
@@ -85,6 +92,7 @@ class PCTrapezoidalBase:
         self.num_newton_steps = int(num_newton_steps)
         self.krylov_tol = float(krylov_tol)
         self.krylov_maxiter = int(krylov_maxiter)
+        self.krylov_unroll = None if krylov_unroll is None else int(krylov_unroll)
         self.track_residuals = bool(track_residuals)
         # Populated by the eager .step() wrapper for reference-API parity.
         self.last_residual: Dict[str, jax.Array] = {}
@@ -145,22 +153,33 @@ class PCTrapezoidalBase:
         def inner_solve(matvec, rhs):
             diag = linsolve.probe_diag(matvec, red * mask, black * mask)
             inv_diag = jnp.where(mask > 0, 1.0 / jnp.where(diag == 0, 1.0, diag), 0.0)
-            delta, info = linsolve.bicgstab(
-                matvec,
-                rhs * mask,
-                jnp.zeros_like(rhs),
-                dot=dot,
-                minv=lambda r: r * inv_diag,
-                tol=self.krylov_tol,
-                maxiter=self.krylov_maxiter,
-            )
-            return delta * mask, info["iters"]
+            if self.krylov_unroll is not None:
+                delta, info = linsolve.bicgstab_unrolled(
+                    matvec,
+                    rhs * mask,
+                    jnp.zeros_like(rhs),
+                    dot=dot,
+                    minv=lambda r: r * inv_diag,
+                    tol=self.krylov_tol,
+                    iters=self.krylov_unroll,
+                )
+            else:
+                delta, info = linsolve.bicgstab(
+                    matvec,
+                    rhs * mask,
+                    jnp.zeros_like(rhs),
+                    dot=dot,
+                    minv=lambda r: r * inv_diag,
+                    tol=self.krylov_tol,
+                    maxiter=self.krylov_maxiter,
+                )
+            return delta * mask, info["iters"], info["resnorm_sq"]
 
         # --- T (reference newton_step_T, src/prob1base.py:2998-3045) ---
         fT0, linT = jax.linearize(lambda T: field.FT(g, ops, s._replace(T=T), t1), s.T)
         mv_T = lambda w: (2.0 * (w * mask) - dt * linT(w * mask)) * mask
         rhs_T = YT0 - (2.0 * s.T - dt * fT0)
-        dT, it_T = inner_solve(mv_T, rhs_T)
+        dT, it_T, rn_T = inner_solve(mv_T, rhs_T)
         T1 = s.T * mask + dT  # boundary re-zeroed, as in the reference
 
         # --- cl (reference newton_step_cl, src/prob1base.py:3047-3080) ---
@@ -171,7 +190,7 @@ class PCTrapezoidalBase:
         wT = (T1 - s.T) * mask
         mv_cl = lambda w: (2.0 * (w * mask) - dt * lincl(zT, w * mask)) * mask
         rhs_cl = Ycl0 - 2.0 * s.cl + dt * fcl0 + dt * lincl(wT, jnp.zeros_like(s.cl))
-        dcl, it_cl = inner_solve(mv_cl, rhs_cl)
+        dcl, it_cl, rn_cl = inner_solve(mv_cl, rhs_cl)
         cl1 = s.cl + dcl  # boundary kept, as in the reference
 
         # --- cd (reference newton_step_cd, src/prob1base.py:3082-3115) ---
@@ -190,7 +209,7 @@ class PCTrapezoidalBase:
             + dt * fcd0
             + dt * lincd(wT, wcl, jnp.zeros_like(s.cd))
         )
-        dcd, it_cd = inner_solve(mv_cd, rhs_cd)
+        dcd, it_cd, rn_cd = inner_solve(mv_cd, rhs_cd)
         cd1 = s.cd + dcd
 
         if self.track_residuals:
@@ -203,7 +222,8 @@ class PCTrapezoidalBase:
         else:
             res_T = res_cl = res_cd = jnp.zeros_like(s.T)
 
-        return T1, cl1, cd1, (res_T, res_cl, res_cd), it_T + it_cl + it_cd
+        resnorm = jnp.maximum(jnp.maximum(rn_T, rn_cl), rn_cd)
+        return T1, cl1, cd1, (res_T, res_cl, res_cd), it_T + it_cl + it_cd, resnorm
 
     # ------------------------------------------------------------------
     # Full step (reference step, src/prob1base.py:3117-3149)
@@ -225,15 +245,17 @@ class PCTrapezoidalBase:
 
         res = (jnp.zeros_like(T1),) * 3
         total_iters = jnp.asarray(0)
+        worst_resnorm = jnp.asarray(0.0, dtype=T1.dtype)
         hcs_ok = jnp.asarray(True)
 
         for _pc in range(self.num_pc_steps):
             for _newton in range(self.num_newton_steps):
                 s = State(cp=cp1, T=T1, cl=cl1, cd=cd1, cs=cs1)
-                T1, cl1, cd1, res, iters = self._newton_sweep(
+                T1, cl1, cd1, res, iters, resnorm = self._newton_sweep(
                     g, ops, s, t1, dt, Y, red, black
                 )
                 total_iters = total_iters + iters
+                worst_resnorm = jnp.maximum(worst_resnorm, resnorm)
             cp1 = self.corrector_cp_step(g, ops, T1, cl1, cd1, at_t0=at_t0, t0=t0, dt=dt)
             cs1, ok = self.corrector_cs_step(g, ops, T1, cl1, cd1, at_t0=at_t0, t0=t0, dt=dt)
             hcs_ok = jnp.logical_and(hcs_ok, ok)
@@ -244,6 +266,7 @@ class PCTrapezoidalBase:
             residual_cl=res[1],
             residual_cd=res[2],
             krylov_iters=total_iters,
+            krylov_resnorm_sq=worst_resnorm,
             hcs_denominator_ok=hcs_ok,
         )
         return new_state, diag
@@ -333,7 +356,8 @@ class PCTrapezoidalRegHCsTriple(PCTrapezoidalBase):
             num_newton_steps=num_newton_steps,
             **kwargs,
         )
-        self._regularization_factor = float(regularization_factor)
+        # May be a Python float or a traced scalar (vmapped eta studies).
+        self._regularization_factor = regularization_factor
         self._num_newton_iterations = int(num_newton_iterations)
         self._consec_xs_rtol = float(consec_xs_rtol)
 
@@ -351,9 +375,31 @@ class PCTrapezoidalRegHCsTriple(PCTrapezoidalBase):
 
     def _newton_iterations(self, y, a, eta, x0):
         """Vectorized pointwise Newton with the reference's early-exit rule
-        (max|dx| below rtol·|x| everywhere; src/prob1base.py:3654-3663)."""
+        (max|dx| below rtol·|x| everywhere; src/prob1base.py:3654-3663).
+
+        Unrolled straight-line when the iteration budget is small (default 5):
+        the early exit becomes a `done` mask, which is bit-identical to
+        breaking out of the loop and avoids while_loop latency on TPU.  Large
+        budgets (tests use up to 1000) keep the while_loop."""
         rtol = self._consec_xs_rtol
         n = self._num_newton_iterations
+
+        def newton_update(x):
+            f = self._predictor_equation(x, y, a, eta)
+            J = self._predictor_jacobian(x, y, a, eta)
+            dx = -f / J
+            x_new = x + dx
+            done_new = jnp.all(jnp.max(jnp.abs(dx)) < rtol * jnp.abs(x_new))
+            return x_new, done_new
+
+        if n <= 16:
+            x = x0
+            done = jnp.asarray(False)
+            for _ in range(n):
+                x_new, done_new = newton_update(x)
+                x = jnp.where(done, x, x_new)
+                done = done | done_new
+            return x
 
         def cond(carry):
             x, k, done = carry
@@ -361,12 +407,8 @@ class PCTrapezoidalRegHCsTriple(PCTrapezoidalBase):
 
         def body(carry):
             x, k, _ = carry
-            f = self._predictor_equation(x, y, a, eta)
-            J = self._predictor_jacobian(x, y, a, eta)
-            dx = -f / J
-            x = x + dx
-            done = jnp.all(jnp.max(jnp.abs(dx)) < rtol * jnp.abs(x))
-            return (x, k + 1, done)
+            x_new, done_new = newton_update(x)
+            return (x_new, k + 1, done_new)
 
         x, _, _ = jax.lax.while_loop(cond, body, (x0, jnp.asarray(0), jnp.asarray(False)))
         return x

@@ -133,6 +133,89 @@ def bicgstab(
     return x, {"iters": k, "resnorm_sq": dot(r, r)}
 
 
+def bicgstab_unrolled(
+    matvec,
+    b,
+    x0,
+    *,
+    dot,
+    minv=None,
+    tol: float = 1e-13,
+    atol: float = 0.0,
+    iters: int = 16,
+):
+    """Fully-unrolled preconditioned BiCGStab with early-exit masking.
+
+    TPU rationale: ``lax.while_loop`` iterations serialize with a scalar-
+    condition sync each trip, which dominates wall-clock for these small
+    grids (~ms per iteration of launch latency vs ~µs of math).  Unrolling a
+    fixed ``iters`` straight-line iterations lets XLA fuse the entire solve
+    into a handful of kernels; once the masked `done` flag trips, the
+    remaining iterations are algebraic no-ops (identical result to the
+    while_loop version for any iters >= the while_loop's trip count).
+
+    Use when the iteration count is known to be modest (the Newton systems
+    here are 2I - dt·J with dt·||J|| << 1 in every study protocol); fall back
+    to :func:`bicgstab` for ill-conditioned regimes.
+    """
+    if minv is None:
+        minv = lambda r: r
+
+    eps_div = jnp.asarray(1e-300, dtype=b.dtype)
+
+    def safe_div(num, den):
+        den_ok = jnp.abs(den) > eps_div
+        return jnp.where(den_ok, num / jnp.where(den_ok, den, 1.0), 0.0), den_ok
+
+    r = b - matvec(x0)
+    rhat = r
+    bnorm_sq = dot(b, b)
+    tol_sq = jnp.maximum(tol * tol * bnorm_sq, atol * atol)
+    x = x0
+    z = jnp.zeros_like(b)
+    one = jnp.asarray(1.0, dtype=b.dtype)
+    p, v = z, z
+    rho = alpha = omega = one
+    done = dot(r, r) <= tol_sq
+    iters_used = jnp.asarray(0)
+
+    def keep(old, new):
+        return jnp.where(done, old, new)
+
+    for _ in range(iters):
+        rho1 = dot(rhat, r)
+        ratio, ok1 = safe_div(rho1, rho)
+        aw, ok2 = safe_div(alpha, omega)
+        beta = ratio * aw
+        p_new = r + beta * (p - omega * v)
+        phat = minv(p_new)
+        v_new = matvec(phat)
+        alpha_new, ok3 = safe_div(rho1, dot(rhat, v_new))
+        s = r - alpha_new * v_new
+        x_half = x + alpha_new * phat
+        s_conv = dot(s, s) <= tol_sq
+
+        shat = minv(s)
+        t = matvec(shat)
+        omega_new, ok4 = safe_div(dot(t, s), dot(t, t))
+        x_full = x_half + omega_new * shat
+        r_new = jnp.where(s_conv, s, s - omega_new * t)
+        x_new = jnp.where(s_conv, x_half, x_full)
+
+        breakdown = jnp.logical_not(ok1 & ok2 & ok3 & ok4)
+        x = keep(x, x_new)
+        r = keep(r, r_new)
+        p = keep(p, p_new)
+        v = keep(v, v_new)
+        rho = keep(rho, rho1)
+        alpha = keep(alpha, alpha_new)
+        omega = keep(omega, omega_new)
+        iters_used = iters_used + jnp.where(done, 0, 1)
+        done = done | s_conv | breakdown | (dot(r, r) <= tol_sq)
+
+    return x, {"iters": iters_used, "resnorm_sq": dot(r, r)}
+
+
 def interior_linearized_matvec(residual_fn, u0, g: Grid, dt):
     """Build the Newton matvec ``w -> interior_mask*(2w - dt*J_F[u0] w)``.
 

@@ -137,4 +137,5 @@ def test_sharded_simulation_matches_local():
     for v in State._fields:
         local_h = series.h_norm_sq_errors[v]
         sharded_h = np.concatenate([[float(h0[v])], np.asarray(h_sq[v])])
-        np.testing.assert_allclose(sharded_h, local_h, rtol=1e-12, atol=1e-300)
+        # psum-of-partials vs single global sum: summation-order noise only
+        np.testing.assert_allclose(sharded_h, local_h, rtol=1e-8, atol=1e-22)
