@@ -85,7 +85,13 @@ STUDIES: Dict[str, dict] = {
 }
 
 
-def choose_krylov_unroll(N: int, dt: float, mc: ModelConsts = STUDY_MODEL_CONSTS):
+def choose_krylov_unroll(
+    N: int,
+    dt: float,
+    mc: ModelConsts = STUDY_MODEL_CONSTS,
+    *,
+    num_steps: int | None = None,
+):
     """Pick the unrolled-BiCGStab iteration budget from the stiffness number
     s = 4 dt D_max / h² of the trapezoidal Jacobian J = 2I - dt·L.
 
@@ -93,7 +99,14 @@ def choose_krylov_unroll(N: int, dt: float, mc: ModelConsts = STUDY_MODEL_CONSTS
     unrolled straight-line solver avoids while_loop latency (the dominant
     per-step cost on TPU); for stiff ladders fall back to the while_loop
     solver (None).  The early-exit masking makes any sufficient budget exact.
+
+    The unrolled body compiles ~17x slower than the while_loop one, so when
+    ``num_steps`` is given and small the while_loop solver wins end-to-end
+    (compile amortizes only over long runs; compiled programs persist in the
+    on-disk cache either way).
     """
+    if num_steps is not None and num_steps < 200:
+        return None
     h = 1.0 / N
     d_max = max(mc.DT, mc.Dl_max, mc.Dd_max)
     s = 4.0 * dt * d_max / (h * h)
@@ -142,10 +155,16 @@ def run_spatial_study(
     errors: List[float] = []
     times: List[float] = []
     Ns: List[int] = []
+    import math
+
     for k in range(levels):
         N = base_N * 2**k
         dt = (1.0 / N) ** 1.5
-        trial = _make_trial(cfg["case_cls"], N, eta, krylov_unroll=choose_krylov_unroll(N, dt))
+        nsteps = math.ceil(Tf / dt)
+        trial = _make_trial(
+            cfg["case_cls"], N, eta,
+            krylov_unroll=choose_krylov_unroll(N, dt, num_steps=nsteps),
+        )
         t0 = time.perf_counter()
         summary = trial.run_for_errors(Tf=Tf, dt=dt)
         elapsed = time.perf_counter() - t0
@@ -181,9 +200,14 @@ def run_temporal_study(
     levels = levels or tcfg["levels"]
     N = tcfg["N"]
     Tf = tcfg["Tf"]
-    # the coarsest dt level is the stiffest; one budget serves the ladder
+    # the coarsest dt level is the stiffest; one budget serves the ladder,
+    # sized for the finest level's step count (where runtime dominates)
+    import math
+
+    finest_steps = math.ceil(Tf / (tcfg["base_dt"] / 2 ** (levels - 1)))
     trial = _make_trial(
-        cfg["case_cls"], N, eta, krylov_unroll=choose_krylov_unroll(N, tcfg["base_dt"])
+        cfg["case_cls"], N, eta,
+        krylov_unroll=choose_krylov_unroll(N, tcfg["base_dt"], num_steps=finest_steps),
     )
     errors: List[float] = []
     times: List[float] = []
@@ -334,8 +358,14 @@ def run_eta_study(
     etas = etas or ETA_LADDER
     errors: List[float] = []
     times: List[float] = []
+    import math
+
+    nsteps = math.ceil(Tf / dt)
     for eta in etas:
-        trial = _make_trial(cfg["case_cls"], N, eta, krylov_unroll=choose_krylov_unroll(N, dt))
+        trial = _make_trial(
+            cfg["case_cls"], N, eta,
+            krylov_unroll=choose_krylov_unroll(N, dt, num_steps=nsteps),
+        )
         t0 = time.perf_counter()
         summary = trial.run_for_errors(Tf=Tf, dt=dt)
         elapsed = time.perf_counter() - t0
