@@ -13,6 +13,10 @@ import sys
 import time
 import traceback
 
+# repo root on sys.path without touching PYTHONPATH (which carries the
+# device-plugin site dir on this machine)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update("jax_enable_x64", True)

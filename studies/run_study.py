@@ -16,9 +16,17 @@ import os
 import sys
 import time
 
+# repo root on sys.path without touching PYTHONPATH (which carries the
+# device-plugin site dir on this machine)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+from na_dd_tpu.config import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
 
 from na_dd_tpu.harness.rates import report_on_rates
 from na_dd_tpu.harness.studies import (

@@ -1,0 +1,75 @@
+"""Studies driver and plotting-helper tests (small protocols for CI)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from na_dd_tpu.harness.studies import (
+    STUDIES,
+    choose_krylov_unroll,
+    run_eta_study,
+    run_eta_study_batched,
+    run_spatial_study,
+)
+
+
+def test_studies_registry_complete():
+    """All six reference notebooks have a registered study."""
+    assert set(STUDIES) == {
+        "pol",
+        "expsin",
+        "nfsp_cpcsH2_TclcdH3",
+        "nfsp_cpcsH2_TclcdH2",
+        "nfsp_cpcsH1_TclcdH2",
+        "peaks_fast1e1",
+    }
+    for cfg in STUDIES.values():
+        assert "case_cls" in cfg and "spatial_Tf" in cfg and "temporal" in cfg
+
+
+def test_choose_krylov_unroll_regimes():
+    # benign bench regime -> small unrolled budget
+    assert choose_krylov_unroll(256, (1 / 256) ** 1.5, num_steps=10_000) == 16
+    # short runs never unroll (compile cost dominates)
+    assert choose_krylov_unroll(256, (1 / 256) ** 1.5, num_steps=41) is None
+    # very stiff ladder -> while_loop
+    assert choose_krylov_unroll(200, 1.0, num_steps=10_000) is None
+
+
+def test_spatial_study_small_ladder():
+    res = run_spatial_study("pol", levels=3, base_N=4, verbose=False)
+    assert len(res["errors"]) == 3
+    assert res["errors"][0] > res["errors"][-1]
+    assert len(res["rates"]) == 1
+
+
+def test_eta_batched_matches_serial_small():
+    etas = [10.0, 100.0]
+    rb = run_eta_study_batched("pol", N=6, dt=2.5e-3, Tf=0.005, etas=etas, verbose=False)
+    rs = run_eta_study("pol", N=6, dt=2.5e-3, Tf=0.005, etas=etas, verbose=False)
+    np.testing.assert_allclose(rb["errors"], rs["errors"], rtol=1e-13)
+
+
+def test_plotting_helpers(tmp_path):
+    matplotlib = pytest.importorskip("matplotlib")
+    from na_dd_tpu.harness.plotting import plot_errors_and_rates, visualize_mms_solution
+    from na_dd_tpu.mms.cases import MMSCasePol
+    from na_dd_tpu.models import Model02, default_model_consts
+    from na_dd_tpu.ops import make_uniform_grid
+
+    p1 = plot_errors_and_rates(
+        errors=[1e-3, 2.5e-4, 6e-5],
+        rates=[2.0],
+        x_values=[4, 8, 16],
+        x_label="N",
+        title="demo",
+        expected_rate=2.0,
+        save_path=str(tmp_path / "rates.png"),
+    )
+    assert os.path.exists(p1) and os.path.getsize(p1) > 0
+
+    g = make_uniform_grid(8, 8)
+    case = MMSCasePol(g, model=Model02(default_model_consts))
+    p2 = visualize_mms_solution(case, time_point=0.1, save_path=str(tmp_path / "mms.png"))
+    assert os.path.exists(p2) and os.path.getsize(p2) > 0
