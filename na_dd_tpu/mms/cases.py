@@ -41,6 +41,14 @@ class MMSCaseStiffExpDecay(MMSCaseSymbolic):
         )
 
 
+def make_MMSCaseStiffExpDecay_cls(ref_speed):
+    class the_MMSCaseStiffExpDecay(MMSCaseStiffExpDecay):
+        def __init__(self, grid, model):
+            super().__init__(grid=grid, model=model, a_base=ref_speed)
+
+    return the_MMSCaseStiffExpDecay
+
+
 class MMSCasePolWithOscilatingTime(MMSCaseSymbolic):
     """phi(t) = ampl (1 + shrink sin(speed t)) times the polynomial bump; all
     five fields equal (reference src/prob1_mms_cases.py:76-148)."""

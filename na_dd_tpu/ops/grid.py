@@ -52,6 +52,7 @@ class Grid:
     w_pk: jax.Array  # h_i k_{j+1/2} on rows 1..N × cols 1..M-1, 0 elsewhere
     w_hp: jax.Array  # h_{i+1/2} k_j on rows 1..N-1 × cols 1..M, 0 elsewhere
     red_mask: jax.Array  # 1 where (i+j) even — global parity, shard-safe
+    color5: jax.Array  # (i + 2j) mod 5 — distance-1 stencil coloring, shard-safe
     # --- static metadata ---
     N: int = dataclasses.field(metadata=dict(static=True))
     M: int = dataclasses.field(metadata=dict(static=True))
@@ -145,6 +146,9 @@ def make_grid(x: np.ndarray, y: np.ndarray, dtype=jnp.float64) -> Grid:
 
     ii, jj = np.meshgrid(np.arange(N + 1), np.arange(M + 1), indexing="ij")
     red_mask = ((ii + jj) % 2 == 0).astype(np.float64)
+    # 5-coloring where a node and its 4 axis neighbors all get distinct
+    # colors: the neighbor at offset (a, b) has color (c + a + 2b) mod 5.
+    color5 = ((ii + 2 * jj) % 5).astype(np.int32)
 
     dev = lambda a: jnp.asarray(a, dtype=dtype)
     return Grid(
@@ -167,6 +171,7 @@ def make_grid(x: np.ndarray, y: np.ndarray, dtype=jnp.float64) -> Grid:
         w_pk=dev(w_pk),
         w_hp=dev(w_hp),
         red_mask=dev(red_mask),
+        color5=jnp.asarray(color5),
         N=N,
         M=M,
     )

@@ -27,6 +27,7 @@ solver runs inside ``shard_map`` (where dots psum over the mesh).
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -131,6 +132,63 @@ def bicgstab(
     init = (x0, r0, r0, z, z, one, one, one, jnp.asarray(0), dot(r0, r0) <= tol_sq)
     (x, r, *_rest, k, _done) = jax.lax.while_loop(cond, body, init)
     return x, {"iters": k, "resnorm_sq": dot(r, r)}
+
+
+class Stencil5(NamedTuple):
+    """Assembled 5-point stencil: out[ij] = c0·w[ij] + cxm·w[i-1,j]
+    + cxp·w[i+1,j] + cym·w[i,j-1] + cyp·w[i,j+1].
+
+    The TPU-native analogue of the reference's ``FiveDiagonalsMatrixFactory``
+    CSR assembly (src/prob1base.py:601-710): five dense coefficient planes
+    instead of a sparse matrix, applied with shifts (fused VPU work,
+    ppermute-able under sharding)."""
+
+    c0: jax.Array
+    cxm: jax.Array
+    cxp: jax.Array
+    cym: jax.Array
+    cyp: jax.Array
+
+    def apply(self, ops: Ops, w):
+        return (
+            self.c0 * w
+            + self.cxm * ops.shift_xm(w)
+            + self.cxp * ops.shift_xp(w)
+            + self.cym * ops.shift_ym(w)
+            + self.cyp * ops.shift_yp(w)
+        )
+
+
+# neighbor color offsets for the (i + 2j) mod 5 coloring
+_OFFSET_DELTA = {"c0": 0, "cxm": -1, "cxp": 1, "cym": -2, "cyp": 2}
+
+
+def probe_stencil(matvec, g: Grid) -> Stencil5:
+    """Extract all five stencil coefficient planes of a distance-1 operator
+    with 5 probing products on the (i + 2j) mod 5 coloring.
+
+    A node and its four axis neighbors have pairwise-distinct colors, so
+    (A 1_c)[ij] isolates exactly one coefficient per probe:
+    the coefficient of neighbor (i+a, j+b) lives in the probe of color
+    (color5[ij] + a + 2b) mod 5.
+
+    This replaces re-running the jax.linearize graph inside every Krylov
+    iteration by a 5-multiply stencil — the assemble-then-iterate strategy —
+    which also shrinks the unrolled-solver graph by an order of magnitude.
+    Exact for all Newton operators here (their Jacobians are 5-point by
+    construction of the discretization).
+    """
+    probes = [matvec((g.color5 == k).astype(g.xx.dtype)) for k in range(5)]
+
+    def pick(delta):
+        # select-sum instead of gather (gathers are slow on the TPU VPU)
+        idx = (g.color5 + delta) % 5
+        out = jnp.zeros_like(probes[0])
+        for k in range(5):
+            out = out + jnp.where(idx == k, probes[k], 0.0)
+        return out
+
+    return Stencil5(**{name: pick(d) for name, d in _OFFSET_DELTA.items()})
 
 
 def bicgstab_unrolled(

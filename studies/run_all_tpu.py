@@ -27,7 +27,7 @@ enable_persistent_compilation_cache()
 
 from na_dd_tpu.harness.studies import (
     STUDIES,
-    run_eta_study,
+    run_eta_study_batched,
     run_spatial_study,
     run_temporal_study,
 )
@@ -97,7 +97,8 @@ def main():
             elif kind == "temporal":
                 res = run_temporal_study(study, **kwargs)
             else:
-                res = run_eta_study(study, **kwargs)
+                # all eta values in one vmapped program (reference loops them)
+                res = run_eta_study_batched(study, **kwargs)
         except Exception:
             traceback.print_exc()
             _append_md([f"| {study} | {kind} | FAILED | | | |"])

@@ -71,6 +71,38 @@ def test_bicgstab_solves_to_machine_precision(diag_dominant):
     assert err < 1e-10, f"bicgstab error {err}, iters {info['iters']}"
 
 
+def test_probe_stencil_exact():
+    """5-color probing recovers all five coefficient planes exactly."""
+    g = make_uniform_grid(7, 6)
+    rng = np.random.RandomState(SEED + 9)
+    matvec = _random_stencil_operator(g, rng)
+    st = linsolve.probe_stencil(matvec, g)
+    # assembled stencil reproduces the operator action on random vectors
+    for _ in range(3):
+        w = jnp.asarray(rng.rand(*g.full_shape))
+        np.testing.assert_allclose(
+            np.asarray(st.apply(OPS, w)), np.asarray(matvec(w)), rtol=1e-13, atol=1e-15
+        )
+    # and its diagonal equals the dense diagonal
+    dense = _dense_from_matvec(matvec, g)
+    np.testing.assert_allclose(np.asarray(st.c0).ravel(), np.diag(dense), rtol=1e-13)
+
+
+def test_bicgstab_unrolled_matches_while():
+    g = make_uniform_grid(6, 7)
+    rng = np.random.RandomState(SEED + 4)
+    matvec = _random_stencil_operator(g, rng)
+    x_true = jnp.asarray(rng.rand(*g.full_shape)) * g.interior_mask
+    b = matvec(x_true)
+    dot = lambda u, v: OPS.asum(u * v)
+    x_w, _ = linsolve.bicgstab(matvec, b, jnp.zeros_like(b), dot=dot, tol=1e-14, maxiter=100)
+    x_u, info = linsolve.bicgstab_unrolled(
+        matvec, b, jnp.zeros_like(b), dot=dot, tol=1e-14, iters=60
+    )
+    np.testing.assert_allclose(np.asarray(x_u), np.asarray(x_w), rtol=1e-9, atol=1e-12)
+    assert float(jnp.max(jnp.abs(x_u - x_true))) < 1e-9
+
+
 def test_bicgstab_zero_rhs():
     g = make_uniform_grid(4, 4)
     rng = np.random.RandomState(SEED + 2)
