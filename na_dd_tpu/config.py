@@ -14,7 +14,15 @@ import jax
 
 
 def setup_x64() -> None:
-    jax.config.update("jax_enable_x64", True)
+    """Enable f64 unless NA_DD_TPU_X64=0 requests the f32 production mode.
+
+    f64 is required for the reference-parity gate (<=1e-8 relative error
+    deviation).  The f32 mode trades the last ~7 digits of the MMS error floor
+    for native-speed TPU arithmetic and far faster compiles; use it for
+    production forward runs, not for convergence verification.
+    """
+    if os.environ.get("NA_DD_TPU_X64", "1") != "0":
+        jax.config.update("jax_enable_x64", True)
 
 
 def enable_persistent_compilation_cache(path: str | None = None) -> None:

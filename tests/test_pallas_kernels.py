@@ -1,0 +1,62 @@
+"""Pallas stencil kernel vs the jnp Stencil5.apply reference (interpret mode
+on CPU; the compiled path is exercised on TPU by the f32 production mode)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from na_dd_tpu.ops import LOCAL_OPS, linsolve, make_uniform_grid
+from na_dd_tpu.ops.pallas_kernels import stencil5_apply_pallas
+
+
+def _random_stencil(shape, rng, dtype):
+    mk = lambda: jnp.asarray(rng.rand(*shape), dtype=dtype)
+    return linsolve.Stencil5(c0=mk(), cxm=mk(), cxp=mk(), cym=mk(), cyp=mk())
+
+
+def test_stencil5_pallas_matches_jnp():
+    rng = np.random.RandomState(5)
+    for shape in [(9, 9), (17, 33)]:
+        st = _random_stencil(shape, rng, jnp.float64)
+        u = jnp.asarray(rng.rand(*shape))
+        ref = st.apply(LOCAL_OPS, u)
+        out = stencil5_apply_pallas(st, u, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-14)
+
+
+def test_stencil5_pallas_f32():
+    rng = np.random.RandomState(6)
+    shape = (33, 33)
+    st = _random_stencil(shape, rng, jnp.float32)
+    u = jnp.asarray(rng.rand(*shape), dtype=jnp.float32)
+    ref = st.apply(LOCAL_OPS, u)
+    out = stencil5_apply_pallas(st, u, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+def test_stencil5_pallas_on_probed_operator():
+    """End-to-end: probe a real Newton operator's stencil and apply it with
+    the kernel."""
+    import jax
+
+    from na_dd_tpu.core import FieldRegHCsTriple, NoForcing, State
+
+    from na_dd_tpu.models import Model02, default_model_consts
+    from na_dd_tpu.ops import LOCAL_OPS as OPS
+
+    g = make_uniform_grid(8, 8)
+    model = Model02(default_model_consts)
+    field = FieldRegHCsTriple(grid=g, model=model, forcing=NoForcing(), regularization_factor=50.0)
+    rng = np.random.RandomState(7)
+    s = State(*(jnp.asarray(0.4 + 0.1 * rng.rand(*g.full_shape)) for _ in range(5)))
+    dt = 1e-3
+    _, matvec = linsolve.interior_linearized_matvec(
+        lambda T: field.FT(g, OPS, s._replace(T=T), 0.0), s.T, g, dt
+    )
+    st = linsolve.probe_stencil(matvec, g)
+    w = jnp.asarray(rng.rand(*g.full_shape))
+    np.testing.assert_allclose(
+        np.asarray(stencil5_apply_pallas(st, w, interpret=True)),
+        np.asarray(matvec(w)),
+        rtol=1e-12,
+        atol=1e-15,
+    )
