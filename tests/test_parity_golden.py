@@ -49,6 +49,85 @@ GOLDEN = {
 PARITY_RTOL = 1e-8
 
 
+def test_cstriple_expsin_parity():
+    """CsTriple variant golden values (reference run, dt=2e-3, Tf=0.01)."""
+    from na_dd_tpu.core import FieldCsTriple, MMSForcingCsTriple
+    from na_dd_tpu.integrators import PCTrapezoidalCsTriple
+
+    golden = {8: 1.3027694406570663e-06, 16: 3.2704272907552362e-07}
+    model = Model02(STUDY_MC)
+    for N, ref in golden.items():
+        trial = MMSTrial(
+            make_uniform_grid(N, N), model, MMSCaseExpSin,
+            FieldCsTriple, MMSForcingCsTriple, PCTrapezoidalCsTriple,
+        )
+        err = trial.run_for_errors(Tf=0.01, dt=2e-3).overall_combined_error
+        assert abs(err - ref) / ref <= PARITY_RTOL, (N, err, ref)
+
+
+def test_hcstriple_zero_crossing_parity():
+    """HCs variant through a cs zero crossing (sharp Heaviside switching +
+    sign-based corrector), golden from the reference (dt=1e-3, Tf=0.8)."""
+    from na_dd_tpu.core import FieldHCsTriple, MMSForcingHCsTriple
+    from na_dd_tpu.integrators import PCTrapezoidalHCsTriple
+    from na_dd_tpu.mms.cases import MMSCaseCsZeroCrossing
+
+    golden = 3.5029545962258690e-03
+    model = Model02(STUDY_MC)
+    trial = MMSTrial(
+        make_uniform_grid(8, 8), model, MMSCaseCsZeroCrossing,
+        FieldHCsTriple, MMSForcingHCsTriple, PCTrapezoidalHCsTriple,
+    )
+    err = trial.run_for_errors(Tf=0.8, dt=1e-3).overall_combined_error
+    assert abs(err - golden) / golden <= PARITY_RTOL, (err, golden)
+
+
+def test_nfsp_abs_gamma_parity():
+    """Low-regularity |.|^gamma case (Abs derivatives + DiracDelta stub),
+    golden from the reference (dt=1e-3, Tf=0.05)."""
+    from na_dd_tpu.mms.cases import MMSCaseNonFullySmoothPol_cpcsH2_TclcdH3
+
+    golden = 7.7437919308797556e-07
+    model = Model02(STUDY_MC)
+    trial = MMSTrial(
+        make_uniform_grid(8, 8), model, MMSCaseNonFullySmoothPol_cpcsH2_TclcdH3,
+        FieldRegHCsTriple, MMSForcingRegHCsTriple, PCTrapezoidalRegHCsTriple,
+        forcing_terms_params=dict(regularization_factor=50.0),
+        field_params=dict(regularization_factor=50.0),
+        integrator_params=dict(regularization_factor=50.0),
+    )
+    err = trial.run_for_errors(Tf=0.05, dt=1e-3).overall_combined_error
+    assert abs(err - golden) / golden <= PARITY_RTOL, (err, golden)
+
+
+def test_forward_euler_parity():
+    """FE end-to-end incl. boundary-forcing semantics, golden from the
+    reference (dt=1e-4, Tf=0.005), overall + per-variable."""
+    from na_dd_tpu.integrators import ForwardEulerIntegrator
+
+    golden = 5.4271963227677798e-06
+    per_var = {
+        "cp": 9.0169225197585734e-11,
+        "T": 6.4097681890801875e-07,
+        "cl": 1.2030623521024432e-07,
+        "cd": 5.3878692490357578e-06,
+        "cs": 2.0507711164165844e-11,
+    }
+    model = Model02(STUDY_MC)
+    trial = MMSTrial(
+        make_uniform_grid(8, 8), model, MMSCaseExpSin,
+        FieldRegHCsTriple, MMSForcingRegHCsTriple, ForwardEulerIntegrator,
+        forcing_terms_params=dict(regularization_factor=50.0),
+        field_params=dict(regularization_factor=50.0),
+    )
+    summary = trial.run_for_errors(Tf=0.005, dt=1e-4)
+    err = summary.overall_combined_error
+    assert abs(err - golden) / golden <= PARITY_RTOL, (err, golden)
+    for var, ref in per_var.items():
+        got = summary.per_variable_sup_errors[var]
+        assert abs(got - ref) / ref <= 1e-7, (var, got, ref)
+
+
 def test_expsin_reghcs_spatial_parity_and_order():
     model = Model02(STUDY_MC)
     errors = []
