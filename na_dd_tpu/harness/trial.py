@@ -20,10 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from na_dd_tpu.core.state import State
-from na_dd_tpu.integrators.pc_trapezoidal import (
-    HCsCorrectorPositivityError,
-    PCTrapezoidalBase,
-)
+from na_dd_tpu.integrators.pc_trapezoidal import HCsCorrectorPositivityError
 from na_dd_tpu.mms.engine import state_from_mms_when
 from na_dd_tpu.ops import inner_products, stencils
 from na_dd_tpu.ops.grid import Grid

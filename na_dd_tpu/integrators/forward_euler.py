@@ -8,8 +8,6 @@ boundary — this is observable in the FE order tests).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 
 from na_dd_tpu.core.state import State

@@ -15,11 +15,9 @@ cases) is numerically stubbed the same way as the reference
 
 from __future__ import annotations
 
-import math
 from typing import Callable, Dict
 
 import jax.numpy as jnp
-import numpy as np
 import sympy
 
 from na_dd_tpu.core.state import State

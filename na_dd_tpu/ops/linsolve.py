@@ -26,7 +26,6 @@ solver runs inside ``shard_map`` (where dots psum over the mesh).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

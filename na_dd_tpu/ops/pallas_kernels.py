@@ -19,10 +19,7 @@ Notes:
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
-import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 try:  # pltpu is importable on CPU builds too; guard anyway
