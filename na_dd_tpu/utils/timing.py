@@ -36,6 +36,23 @@ def timed_block(record: Dict[str, float], name: str, *, sync=None):
         record[name] = record.get(name, 0.0) + (time.perf_counter() - t0)
 
 
+@contextlib.contextmanager
+def xla_trace(log_dir: str):
+    """Capture an XLA/device profile (view with TensorBoard or xprof).
+
+    The reference has no profiling at all (SURVEY.md §5); this wraps
+    ``jax.profiler`` so study/bench runs can record device timelines:
+
+        with xla_trace('/tmp/na_dd_trace'):
+            run_for_errors(...)
+    """
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
 def time_compile_and_run(fn, *args, reps: int = 3):
     """Return (compile_plus_first_run_s, best_steady_run_s, result)."""
     t0 = time.perf_counter()
