@@ -88,11 +88,12 @@ def simulate(
     else:
         n_outer, n_inner = 1, num_steps
 
+    # t0/dt are baked in as compile-time constants (traced scalars degrade
+    # f64-emulated TPU arithmetic inside scans; see harness/trial.py).
     @jax.jit
-    def run(s0, t0_tr, dt_tr):
-        def inner(s, kt):
-            k = kt
-            s1, _ = _scan_step(integrator, grid, ops, s, t0_tr + k * dt_tr, dt_tr)
+    def run(s0):
+        def inner(s, k):
+            s1, _ = _scan_step(integrator, grid, ops, s, t0 + k * dt, dt)
             return s1, None
 
         def outer(carry, j):
@@ -105,7 +106,7 @@ def simulate(
         s_final, snaps = jax.lax.scan(outer, s0, js)
         return s_final, snaps
 
-    s_final, snaps = run(state0, t0, dt)
+    s_final, snaps = run(state0)
     times = t0 + dt * (jnp.arange(1, n_outer + 1) * n_inner) if record else None
     return s_final, times, (snaps if record else None)
 
