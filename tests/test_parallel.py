@@ -110,6 +110,20 @@ def test_sharded_step_matches_local():
     assert bool(diag["hcs_ok"])
 
 
+def test_sharded_step_2d_mesh_matches_local():
+    """Full PC step on a 2-D (4×2) mesh — halos in both axes — equals local."""
+    g, model, mms, integ, s0 = _mk(N=7, M=7)  # 8×8 arrays: 4 row × 2 col shards
+    s1_local = integ.step(s0, t0=0.0, dt=1e-3)
+
+    mesh = make_mesh((4, 2), ("x", "y"))
+    gs, ss = shard_grid_and_state(mesh, g, s0, axis_x="x", axis_y="y")
+    step = build_sharded_step(integ, mesh, axis_x="x", axis_y="y")
+    s1_sh, diag = step(gs, ss, 0.0, 1e-3)
+    for v in State._fields:
+        d = np.max(np.abs(np.asarray(getattr(s1_local, v)) - np.asarray(getattr(s1_sh, v))))
+        assert d < 1e-12, f"{v}: {d}"
+
+
 def test_sharded_simulation_matches_local():
     from na_dd_tpu.harness import run_simulation_collect_data
 
