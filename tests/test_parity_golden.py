@@ -128,6 +128,33 @@ def test_forward_euler_parity():
         assert abs(got - ref) / ref <= 1e-7, (var, got, ref)
 
 
+def test_nonuniform_grid_parity():
+    """Non-uniform tensor-product grid (random spacings, seed 77) exercises
+    every metric term (h_i, k_j, staggered midspacings, weights).  Golden from
+    the reference (PC-RegHCs, ExpSin, dt=2e-3, Tf=0.01)."""
+    import numpy as np
+
+    from na_dd_tpu.ops import make_grid
+
+    golden = 1.1814023749544314e-05
+    rng = np.random.RandomState(77)
+    x = np.sort(np.concatenate([[0.0, 1.0], rng.rand(9)]))
+    y = np.sort(np.concatenate([[0.0, 1.0], rng.rand(7)]))
+    model = Model02(STUDY_MC)
+    trial = MMSTrial(
+        make_grid(x, y), model, MMSCaseExpSin,
+        FieldRegHCsTriple, MMSForcingRegHCsTriple, PCTrapezoidalRegHCsTriple,
+        forcing_terms_params=dict(regularization_factor=50.0),
+        field_params=dict(regularization_factor=50.0),
+        integrator_params=dict(regularization_factor=50.0),
+    )
+    err = trial.run_for_errors(Tf=0.01, dt=2e-3).overall_combined_error
+    # Non-uniform weights change the reduction association; observed absolute
+    # deviation is ~2e-13 (pure summation-order noise), which on this error
+    # magnitude is ~2e-8 relative — hence the slightly looser gate here.
+    assert abs(err - golden) / golden <= 1e-7, (err, golden)
+
+
 def test_expsin_reghcs_spatial_parity_and_order():
     model = Model02(STUDY_MC)
     errors = []
