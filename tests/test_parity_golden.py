@@ -128,6 +128,51 @@ def test_forward_euler_parity():
         assert abs(got - ref) / ref <= 1e-7, (var, got, ref)
 
 
+def test_remaining_case_families_parity():
+    """Golden values for the other MMS case families (oscillating-time,
+    slowly-changing-peaks alias, stiff exponential decay), PC-RegHCs."""
+    from na_dd_tpu.mms.cases import (
+        MMSCaseSlowlyChangingPeaks_Slow1e2,
+        MMSCaseStiffExpDecay,
+        make_MMSCasePolWithOscilatingTime_cls,
+    )
+
+    model = Model02(STUDY_MC)
+    cases = [
+        (
+            make_MMSCasePolWithOscilatingTime_cls(ampl=0.8, speed=7.0),
+            {},
+            dict(Tf=0.05, dt=2e-3),
+            7.7323703261406674e-05,
+        ),
+        (
+            MMSCaseSlowlyChangingPeaks_Slow1e2,
+            {},
+            dict(Tf=0.02, dt=2e-3),
+            1.0868065366384929e-05,
+        ),
+        (
+            MMSCaseStiffExpDecay,
+            dict(a_base=20.0),
+            dict(Tf=0.05, dt=1e-3),
+            8.7727711888787948e-07,
+        ),
+    ]
+    for case_cls, case_params, run_kw, golden in cases:
+        trial = MMSTrial(
+            make_uniform_grid(10, 10), model, case_cls,
+            FieldRegHCsTriple, MMSForcingRegHCsTriple, PCTrapezoidalRegHCsTriple,
+            mms_case_params=case_params,
+            forcing_terms_params=dict(regularization_factor=50.0),
+            field_params=dict(regularization_factor=50.0),
+            integrator_params=dict(regularization_factor=50.0),
+        )
+        err = trial.run_for_errors(**run_kw).overall_combined_error
+        assert abs(err - golden) / golden <= PARITY_RTOL, (
+            case_cls.__name__, err, golden,
+        )
+
+
 def test_nonuniform_grid_parity():
     """Non-uniform tensor-product grid (random spacings, seed 77) exercises
     every metric term (h_i, k_j, staggered midspacings, weights).  Golden from
