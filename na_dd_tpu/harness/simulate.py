@@ -54,7 +54,10 @@ def make_integrator(
     field_cls, integ_cls = _VARIANTS[variant]
     forcing = forcing if forcing is not None else NoForcing()
     field_kwargs = dict(grid=grid, model=model, forcing=forcing)
-    integ_kwargs = dict(integrator_params)
+    # default to the unrolled solver: faster on TPU and immune to the
+    # backend's while_loop scalar-precision hazard (see harness/studies.py)
+    integ_kwargs = dict(krylov_unroll=24)
+    integ_kwargs.update(integrator_params)
     if variant == "reghcstriple":
         field_kwargs["regularization_factor"] = regularization_factor
         integ_kwargs["regularization_factor"] = regularization_factor

@@ -95,18 +95,16 @@ def choose_krylov_unroll(
     """Pick the unrolled-BiCGStab iteration budget from the stiffness number
     s = 4 dt D_max / h² of the trapezoidal Jacobian J = 2I - dt·L.
 
-    For small s the solve converges in a handful of iterations and a fully
-    unrolled straight-line solver avoids while_loop latency (the dominant
-    per-step cost on TPU); for stiff ladders fall back to the while_loop
-    solver (None).  The early-exit masking makes any sufficient budget exact.
-
-    The unrolled body compiles ~17x slower than the while_loop one, so when
-    ``num_steps`` is given and small the while_loop solver wins end-to-end
-    (compile amortizes only over long runs; compiled programs persist in the
-    on-disk cache either way).
+    The studies always use the *unrolled* solver: besides being far faster per
+    step on TPU (no while_loop latency), it is the only numerically safe
+    choice there — loop-carried 0-d scalars inside lax.while_loop bodies are
+    computed at ~f32 precision by the TPU f64-emulation backend (measured:
+    1.6e-7 absolute study-error corruption with the while solver vs 1.5e-11
+    with the unrolled one).  The early-exit masking makes any sufficient
+    budget exact; stiffer ladders get bigger budgets.  ``num_steps`` is
+    accepted for API stability but no longer selects the while solver.
     """
-    if num_steps is not None and num_steps < 200:
-        return None
+    del num_steps  # retained for call-site compatibility
     h = 1.0 / N
     d_max = max(mc.DT, mc.Dl_max, mc.Dd_max)
     s = 4.0 * dt * d_max / (h * h)
@@ -116,7 +114,7 @@ def choose_krylov_unroll(
         return 32
     if s <= 64.0:
         return 64
-    return None  # while_loop with maxiter
+    return 96
 
 
 def _make_trial(

@@ -31,10 +31,10 @@ def test_studies_registry_complete():
 def test_choose_krylov_unroll_regimes():
     # benign bench regime -> small unrolled budget
     assert choose_krylov_unroll(256, (1 / 256) ** 1.5, num_steps=10_000) == 16
-    # short runs never unroll (compile cost dominates)
-    assert choose_krylov_unroll(256, (1 / 256) ** 1.5, num_steps=41) is None
-    # very stiff ladder -> while_loop
-    assert choose_krylov_unroll(200, 1.0, num_steps=10_000) is None
+    assert choose_krylov_unroll(256, (1 / 256) ** 1.5, num_steps=41) == 16
+    # very stiff ladder -> biggest unrolled budget (while_loop is numerically
+    # unsafe on the TPU backend; see choose_krylov_unroll docstring)
+    assert choose_krylov_unroll(200, 1.0, num_steps=10_000) == 96
 
 
 def test_spatial_study_small_ladder():
