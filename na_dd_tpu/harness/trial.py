@@ -64,12 +64,14 @@ def _scan_step(integrator, g, ops, s, t, dt):
             "hcs_ok": jnp.asarray(True),
             "krylov_iters": jnp.asarray(0),
             "krylov_resnorm_sq": jnp.asarray(0.0),
+            "krylov_converged": jnp.asarray(True),
         }
     s1, diag = out
     small = {
         "hcs_ok": diag.hcs_denominator_ok,
         "krylov_iters": diag.krylov_iters,
         "krylov_resnorm_sq": diag.krylov_resnorm_sq,
+        "krylov_converged": diag.krylov_converged,
     }
     return s1, small
 
@@ -147,6 +149,17 @@ def run_simulation_collect_data(
     if not bool(np.all(np.asarray(small["hcs_ok"]))):
         raise HCsCorrectorPositivityError(
             "Denominator 2 - dt Kd (Sd - Cd1) (1 + Cl1) below positiveness threshold."
+        )
+    n_unconverged = int(np.sum(~np.asarray(small["krylov_converged"])))
+    if n_unconverged:
+        import warnings
+
+        warnings.warn(
+            f"{n_unconverged}/{num_steps} steps had a Krylov solve that missed "
+            f"its tolerance (worst resnorm_sq "
+            f"{float(np.max(np.asarray(small['krylov_resnorm_sq']))):.3e}); "
+            "increase krylov_unroll/krylov_maxiter.",
+            stacklevel=2,
         )
 
     ts = t0 + dt_adj * np.arange(num_steps + 1)

@@ -60,6 +60,7 @@ class StepDiagnostics(NamedTuple):
     residual_cd: jax.Array
     krylov_iters: jax.Array  # total BiCGStab iterations in the step
     krylov_resnorm_sq: jax.Array  # worst linear-solve residual (2-norm²)
+    krylov_converged: jax.Array  # False if any solve missed its tolerance
     hcs_denominator_ok: jax.Array  # False only for the HCs variant failure mode
 
 
@@ -187,13 +188,13 @@ class PCTrapezoidalBase:
                     tol=self.krylov_tol,
                     maxiter=self.krylov_maxiter,
                 )
-            return delta * mask, info["iters"], info["resnorm_sq"]
+            return delta * mask, info
 
         # --- T (reference newton_step_T, src/prob1base.py:2998-3045) ---
         fT0, linT = jax.linearize(lambda T: field.FT(g, ops, s._replace(T=T), t1), s.T)
         mv_T = lambda w: (2.0 * (w * mask) - dt * linT(w * mask)) * mask
         rhs_T = YT0 - (2.0 * s.T - dt * fT0)
-        dT, it_T, rn_T = inner_solve(mv_T, rhs_T)
+        dT, info_T = inner_solve(mv_T, rhs_T)
         T1 = s.T * mask + dT  # boundary re-zeroed, as in the reference
 
         # --- cl (reference newton_step_cl, src/prob1base.py:3047-3080) ---
@@ -204,7 +205,7 @@ class PCTrapezoidalBase:
         wT = (T1 - s.T) * mask
         mv_cl = lambda w: (2.0 * (w * mask) - dt * lincl(zT, w * mask)) * mask
         rhs_cl = Ycl0 - 2.0 * s.cl + dt * fcl0 + dt * lincl(wT, jnp.zeros_like(s.cl))
-        dcl, it_cl, rn_cl = inner_solve(mv_cl, rhs_cl)
+        dcl, info_cl = inner_solve(mv_cl, rhs_cl)
         cl1 = s.cl + dcl  # boundary kept, as in the reference
 
         # --- cd (reference newton_step_cd, src/prob1base.py:3082-3115) ---
@@ -223,7 +224,7 @@ class PCTrapezoidalBase:
             + dt * fcd0
             + dt * lincd(wT, wcl, jnp.zeros_like(s.cd))
         )
-        dcd, it_cd, rn_cd = inner_solve(mv_cd, rhs_cd)
+        dcd, info_cd = inner_solve(mv_cd, rhs_cd)
         cd1 = s.cd + dcd
 
         if self.track_residuals:
@@ -236,8 +237,13 @@ class PCTrapezoidalBase:
         else:
             res_T = res_cl = res_cd = jnp.zeros_like(s.T)
 
-        resnorm = jnp.maximum(jnp.maximum(rn_T, rn_cl), rn_cd)
-        return T1, cl1, cd1, (res_T, res_cl, res_cd), it_T + it_cl + it_cd, resnorm
+        resnorm = jnp.maximum(
+            jnp.maximum(info_T["resnorm_sq"], info_cl["resnorm_sq"]),
+            info_cd["resnorm_sq"],
+        )
+        iters = info_T["iters"] + info_cl["iters"] + info_cd["iters"]
+        converged = info_T["converged"] & info_cl["converged"] & info_cd["converged"]
+        return T1, cl1, cd1, (res_T, res_cl, res_cd), iters, resnorm, converged
 
     # ------------------------------------------------------------------
     # Full step (reference step, src/prob1base.py:3117-3149)
@@ -260,16 +266,18 @@ class PCTrapezoidalBase:
         res = (jnp.zeros_like(T1),) * 3
         total_iters = jnp.asarray(0)
         worst_resnorm = jnp.asarray(0.0, dtype=T1.dtype)
+        all_converged = jnp.asarray(True)
         hcs_ok = jnp.asarray(True)
 
         for _pc in range(self.num_pc_steps):
             for _newton in range(self.num_newton_steps):
                 s = State(cp=cp1, T=T1, cl=cl1, cd=cd1, cs=cs1)
-                T1, cl1, cd1, res, iters, resnorm = self._newton_sweep(
+                T1, cl1, cd1, res, iters, resnorm, converged = self._newton_sweep(
                     g, ops, s, t1, dt, Y, red, black
                 )
                 total_iters = total_iters + iters
                 worst_resnorm = jnp.maximum(worst_resnorm, resnorm)
+                all_converged = jnp.logical_and(all_converged, converged)
             cp1 = self.corrector_cp_step(g, ops, T1, cl1, cd1, at_t0=at_t0, t0=t0, dt=dt)
             cs1, ok = self.corrector_cs_step(g, ops, T1, cl1, cd1, at_t0=at_t0, t0=t0, dt=dt)
             hcs_ok = jnp.logical_and(hcs_ok, ok)
@@ -281,6 +289,7 @@ class PCTrapezoidalBase:
             residual_cd=res[2],
             krylov_iters=total_iters,
             krylov_resnorm_sq=worst_resnorm,
+            krylov_converged=all_converged,
             hcs_denominator_ok=hcs_ok,
         )
         return new_state, diag

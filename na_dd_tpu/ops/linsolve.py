@@ -130,7 +130,8 @@ def bicgstab(
     one = jnp.asarray(1.0, dtype=b.dtype)
     init = (x0, r0, r0, z, z, one, one, one, jnp.asarray(0), dot(r0, r0) <= tol_sq)
     (x, r, *_rest, k, _done) = jax.lax.while_loop(cond, body, init)
-    return x, {"iters": k, "resnorm_sq": dot(r, r)}
+    rsq = dot(r, r)
+    return x, {"iters": k, "resnorm_sq": rsq, "converged": rsq <= tol_sq}
 
 
 class Stencil5(NamedTuple):
@@ -270,7 +271,8 @@ def bicgstab_unrolled(
         iters_used = iters_used + jnp.where(done, 0, 1)
         done = done | s_conv | breakdown | (dot(r, r) <= tol_sq)
 
-    return x, {"iters": iters_used, "resnorm_sq": dot(r, r)}
+    rsq = dot(r, r)
+    return x, {"iters": iters_used, "resnorm_sq": rsq, "converged": rsq <= tol_sq}
 
 
 def interior_linearized_matvec(residual_fn, u0, g: Grid, dt):
