@@ -46,20 +46,22 @@ REFERENCE = {
     ("peaks_fast1e1", "temporal"): dict(final_error=1.34e-3, final_rate=1.996, wallclock_finest=2108.5),
 }
 
+# Ordered so already-cached/cheap studies land first; the stiff peaks
+# temporal ladder (biggest unrolled programs -> slowest compiles) runs last.
 PLAN = [
     ("pol", "spatial", dict(levels=8)),
-    ("pol", "temporal", {}),
     ("pol", "eta", {}),
     ("expsin", "spatial", dict(levels=8)),
     ("expsin", "temporal", {}),
     ("peaks_fast1e1", "spatial", dict(levels=8)),
-    ("peaks_fast1e1", "temporal", {}),
     ("nfsp_cpcsH2_TclcdH3", "spatial", dict(levels=8)),
-    ("nfsp_cpcsH2_TclcdH3", "temporal", {}),
     ("nfsp_cpcsH2_TclcdH2", "spatial", dict(levels=8)),
-    ("nfsp_cpcsH2_TclcdH2", "temporal", {}),
     ("nfsp_cpcsH1_TclcdH2", "spatial", dict(levels=8)),
+    ("pol", "temporal", {}),
+    ("nfsp_cpcsH2_TclcdH3", "temporal", {}),
+    ("nfsp_cpcsH2_TclcdH2", "temporal", {}),
     ("nfsp_cpcsH1_TclcdH2", "temporal", {}),
+    ("peaks_fast1e1", "temporal", {}),
 ]
 
 
