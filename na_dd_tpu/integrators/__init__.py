@@ -5,6 +5,7 @@ from na_dd_tpu.integrators.pc_trapezoidal import (
     PCTrapezoidalHCsTriple,
     PCTrapezoidalRegHCsTriple,
     HCsCorrectorPositivityError,
+    default_krylov_unroll,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "PCTrapezoidalHCsTriple",
     "PCTrapezoidalRegHCsTriple",
     "HCsCorrectorPositivityError",
+    "default_krylov_unroll",
 ]

@@ -66,6 +66,26 @@ class StepDiagnostics(NamedTuple):
 
 _ESSENTIALLY_ZERO = float(jnp.finfo(jnp.float64).eps) * 100
 
+#: Unrolled-BiCGStab budget used when ``krylov_unroll="auto"`` resolves on a
+#: non-CPU backend.  Sized for the study protocols' stiffness regimes (see
+#: :func:`na_dd_tpu.harness.studies.choose_krylov_unroll` for tighter,
+#: per-protocol budgets); the harness warns when a solve misses tolerance.
+AUTO_TPU_KRYLOV_UNROLL = 48
+
+
+def default_krylov_unroll() -> int | None:
+    """Platform-aware default for ``krylov_unroll``.
+
+    On CPU the ``lax.while_loop`` BiCGStab is exact and cheapest, so return
+    None (use it).  On every other backend (TPU in particular) return a
+    straight-line unrolled budget: loop-carried 0-d scalars inside
+    ``lax.while_loop`` bodies are computed at ~f32 precision by the TPU
+    f64-emulation backend (measured 1.6e-7 study-error corruption vs 1.5e-11
+    unrolled), so the unrolled solver is the only numerically safe default
+    there — and it is also much faster per step (no while_loop latency).
+    """
+    return None if jax.default_backend() == "cpu" else AUTO_TPU_KRYLOV_UNROLL
+
 
 class PCTrapezoidalBase:
     """Shared PC machinery; subclasses provide the cs predictor/corrector."""
@@ -78,15 +98,18 @@ class PCTrapezoidalBase:
         num_newton_steps: int = 1,
         krylov_tol: float = 1e-13,
         krylov_maxiter: int = 300,
-        krylov_unroll: int | None = None,
+        krylov_unroll: int | None | str = "auto",
         assemble_stencil: bool = True,
         track_residuals: bool = True,
     ):
-        """krylov_unroll: if set, use the fully-unrolled BiCGStab with that
+        """krylov_unroll: an int uses the fully-unrolled BiCGStab with that
         many straight-line iterations (early-exit masked) instead of the
         while_loop solver — much lower latency per step on TPU; requires the
-        system to converge within that budget (all study protocols do; the
-        Newton-residual tests hold at the default of 16).
+        system to converge within that budget (all study protocols do).
+        None forces the while_loop solver (exact on CPU; numerically UNSAFE
+        on the TPU f64-emulation backend).  The default "auto" resolves
+        per-backend via :func:`default_krylov_unroll`, so constructing an
+        integrator with no solver args is safe on TPU.
 
         assemble_stencil: extract the 5 stencil coefficient planes of each
         Newton operator once per solve (5 probing products of the linearized
@@ -101,6 +124,10 @@ class PCTrapezoidalBase:
         self.num_newton_steps = int(num_newton_steps)
         self.krylov_tol = float(krylov_tol)
         self.krylov_maxiter = int(krylov_maxiter)
+        if isinstance(krylov_unroll, str):
+            if krylov_unroll != "auto":
+                raise ValueError(f"krylov_unroll must be an int, None or 'auto'; got {krylov_unroll!r}")
+            krylov_unroll = default_krylov_unroll()
         self.krylov_unroll = None if krylov_unroll is None else int(krylov_unroll)
         self.assemble_stencil = bool(assemble_stencil)
         self.track_residuals = bool(track_residuals)

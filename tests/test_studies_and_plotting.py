@@ -32,9 +32,38 @@ def test_choose_krylov_unroll_regimes():
     # benign bench regime -> small unrolled budget
     assert choose_krylov_unroll(256, (1 / 256) ** 1.5, num_steps=10_000) == 16
     assert choose_krylov_unroll(256, (1 / 256) ** 1.5, num_steps=41) == 16
-    # very stiff ladder -> biggest unrolled budget (while_loop is numerically
-    # unsafe on the TPU backend; see choose_krylov_unroll docstring)
-    assert choose_krylov_unroll(200, 1.0, num_steps=10_000) == 96
+    # very stiff ladder -> budget grows ~sqrt(stiffness) (while_loop is
+    # numerically unsafe on the TPU backend; see choose_krylov_unroll docstring)
+    assert choose_krylov_unroll(200, 1.0, num_steps=10_000) == 96  # s = 160
+    assert choose_krylov_unroll(200, 2.0) == 160  # s = 320: capped tier
+    assert choose_krylov_unroll(256, 1e-2) == 32  # pol temporal base level
+
+
+def test_krylov_unroll_platform_default(monkeypatch):
+    """Constructing a PC integrator with no solver args must be safe on TPU:
+    'auto' resolves to the unrolled solver there (the while_loop solver is
+    numerically unsafe under TPU f64 emulation) and to the exact while_loop
+    solver on CPU."""
+    from types import SimpleNamespace
+
+    import na_dd_tpu.integrators.pc_trapezoidal as pct
+
+    # this suite runs on CPU: while_loop solver is the default
+    assert pct.default_krylov_unroll() is None
+
+    dummy_field = SimpleNamespace(model=None, grid=None)
+    integ_cpu = pct.PCTrapezoidalBase(dummy_field)
+    assert integ_cpu.krylov_unroll is None
+
+    monkeypatch.setattr(pct.jax, "default_backend", lambda: "tpu")
+    assert pct.default_krylov_unroll() == pct.AUTO_TPU_KRYLOV_UNROLL
+    integ_tpu = pct.PCTrapezoidalBase(dummy_field)
+    assert integ_tpu.krylov_unroll == pct.AUTO_TPU_KRYLOV_UNROLL
+    # explicit overrides still win
+    assert pct.PCTrapezoidalBase(dummy_field, krylov_unroll=16).krylov_unroll == 16
+    assert pct.PCTrapezoidalBase(dummy_field, krylov_unroll=None).krylov_unroll is None
+    with pytest.raises(ValueError):
+        pct.PCTrapezoidalBase(dummy_field, krylov_unroll="bogus")
 
 
 def test_spatial_study_small_ladder():
