@@ -33,7 +33,8 @@ from na_dd_tpu.models import Model02, ModelConsts
 from na_dd_tpu.ops import make_uniform_grid
 
 # Study constants (reference notebook cell 3 of
-# MMSCasePol_reghcstriple_convergence_study.ipynb)
+# MMSCasePol_reghcstriple_convergence_study.ipynb — the pol/peaks notebooks
+# use larger Dl_max/Dd_max than the other four studies)
 STUDY_MC = ModelConsts(
     R0=8.3144621,
     Ea=1.60217662e-19,
@@ -42,12 +43,12 @@ STUDY_MC = ModelConsts(
     K3=1e-3,
     K4=1e-3,
     DT=1e-3,
-    Dl_max=1e-5,
+    Dl_max=8.01e-4,
     phi_l=1e-5,
     gamma_T=1e-9,
     Kd=1e-2,
     Sd=1.0,
-    Dd_max=1e-6,
+    Dd_max=2.46e-6,
     phi_d=1e-5,
     phi_T=1.60217662e-19 / 8.3144621,
     r_sp=5e-2,
@@ -55,7 +56,7 @@ STUDY_MC = ModelConsts(
 )
 
 BASELINE_S = 280.4  # reference wall-clock for this exact level (author CPU)
-REFERENCE_ERROR = 4.38e-9  # reference final combined error at N=256
+REFERENCE_ERROR = 4.38284e-9  # reference final combined error at N=256
 
 
 def main():

@@ -25,7 +25,9 @@ from na_dd_tpu.mms import cases as mms_cases
 from na_dd_tpu.models import Model02, ModelConsts
 from na_dd_tpu.ops import make_uniform_grid
 
-# Shared study constants — notebook cell 3 (identical across all six studies).
+# Study constants — notebook cell 3.  Four notebooks (expsin + the three
+# NonFullySmoothPol regularity studies) share these values; the pol and peaks
+# notebooks override Dl_max=8.01e-4 and Dd_max=2.46e-6 (see POL_PEAKS_CONSTS).
 STUDY_MODEL_CONSTS = ModelConsts(
     R0=8.3144621,
     Ea=1.60217662e-19,
@@ -46,14 +48,34 @@ STUDY_MODEL_CONSTS = ModelConsts(
     T_ref=300.0,
 )
 
+# The MMSCasePol and SlowlyChangingPeaks notebooks use larger diffusion
+# maxima (their cell 3 differs from the other four only in these two fields).
+POL_PEAKS_CONSTS = STUDY_MODEL_CONSTS._replace(Dl_max=8.01e-4, Dd_max=2.46e-6)
+
 DEFAULT_ETA = 50.0
 ETA_LADDER = [10.0, 50.0, 100.0, 200.0, 300.0, 500.0, 1000.0]
 
+
+def _peaks_temporal_N(dt: float) -> int:
+    """The peaks temporal study scales the grid with dt: h = 2·dt, i.e.
+    N = ceil(1/(2·dt)) — the notebook's FIXED_GRID_SIZE=200 is dead code
+    (its cell 11 recomputes the grid inside the dt loop).  The reference
+    Grid accepts the degenerate N=1 (a 2×2 all-boundary grid: every node is
+    pinned to 0 and the exact solution vanishes on the boundary, so every
+    error norm is identically 0.0 — the 0.0 entries in the saved outputs);
+    ours requires an interior point, so run_temporal_study emits that exact
+    0.0 analytically for N < 2 instead of simulating."""
+    import math
+
+    return math.ceil(1.0 / (2.0 * dt))
+
+
 # Registry of the six studies: MMS case class + protocol parameters taken
-# from the corresponding notebook's cells 9/11.
+# from the corresponding notebook's cells 3/9/11.
 STUDIES: Dict[str, dict] = {
     "pol": dict(
         case_cls=mms_cases.MMSCasePol,
+        consts=POL_PEAKS_CONSTS,
         spatial_Tf=0.01,
         temporal=dict(N=256, base_dt=1e-2, levels=4, Tf=0.01),
     ),
@@ -79,10 +101,16 @@ STUDIES: Dict[str, dict] = {
     ),
     "peaks_fast1e1": dict(
         case_cls=mms_cases.MMSCaseSlowlyChangingPeaks_Fast1e1,
+        consts=POL_PEAKS_CONSTS,
         spatial_Tf=1.0,
-        temporal=dict(N=200, base_dt=1.0, levels=9, Tf=10.0),
+        temporal=dict(N_of_dt=_peaks_temporal_N, base_dt=1.0, levels=9, Tf=10.0),
     ),
 }
+
+
+def study_consts(study: str) -> ModelConsts:
+    """The ModelConsts the given study's notebook uses."""
+    return STUDIES[study].get("consts", STUDY_MODEL_CONSTS)
 
 
 def choose_krylov_unroll(
@@ -124,10 +152,16 @@ def choose_krylov_unroll(
 
 
 def _make_trial(
-    case_cls, N: int, eta: float, *, track_residuals=False, krylov_unroll=16
+    case_cls,
+    N: int,
+    eta: float,
+    *,
+    track_residuals=False,
+    krylov_unroll=16,
+    mc: ModelConsts = STUDY_MODEL_CONSTS,
 ) -> MMSTrial:
     grid = make_uniform_grid(N, N)
-    model = Model02(STUDY_MODEL_CONSTS)
+    model = Model02(mc)
     return MMSTrial(
         grid,
         model,
@@ -152,12 +186,20 @@ def run_spatial_study(
     base_N: int = 2,
     eta: float = DEFAULT_ETA,
     verbose: bool = True,
+    measure_steady: bool = False,
 ) -> dict:
-    """Notebook cell 9: N = base_N·2^k ladder with dt = h^1.5."""
+    """Notebook cell 9: N = base_N·2^k ladder with dt = h^1.5.
+
+    measure_steady: re-run each level once more after the timed run; the
+    second execution hits the in-process jit cache, so its wall-clock is the
+    steady (compile-free) per-level time reported as ``steady_s``.
+    """
     cfg = STUDIES[study]
+    mc = study_consts(study)
     Tf = cfg["spatial_Tf"]
     errors: List[float] = []
     times: List[float] = []
+    steady: List[float] = []
     Ns: List[int] = []
     import math
 
@@ -166,17 +208,22 @@ def run_spatial_study(
         dt = (1.0 / N) ** 1.5
         nsteps = math.ceil(Tf / dt)
         trial = _make_trial(
-            cfg["case_cls"], N, eta,
-            krylov_unroll=choose_krylov_unroll(N, dt, num_steps=nsteps),
+            cfg["case_cls"], N, eta, mc=mc,
+            krylov_unroll=choose_krylov_unroll(N, dt, mc, num_steps=nsteps),
         )
         t0 = time.perf_counter()
         summary = trial.run_for_errors(Tf=Tf, dt=dt)
         elapsed = time.perf_counter() - t0
+        if measure_steady:
+            t0 = time.perf_counter()
+            trial.run_for_errors(Tf=Tf, dt=dt)
+            steady.append(time.perf_counter() - t0)
         errors.append(summary.overall_combined_error)
         times.append(elapsed)
         Ns.append(N)
         if verbose:
-            print(f"  [spatial {study}] N={N:4d} dt={dt:.3e} err={errors[-1]:.6e} ({elapsed:.2f}s)")
+            extra = f" steady={steady[-1]:.2f}s" if measure_steady else ""
+            print(f"  [spatial {study}] N={N:4d} dt={dt:.3e} err={errors[-1]:.6e} ({elapsed:.2f}s{extra})")
     rates = calculate_observed_rates(errors) if len(errors) >= 3 else []
     return dict(
         study=study,
@@ -186,6 +233,7 @@ def run_spatial_study(
         eta=eta,
         errors=errors,
         wallclock_s=times,
+        steady_s=steady or None,
         rates=[r for r, _ in rates],
         statuses=[s for _, s in rates],
     )
@@ -197,45 +245,75 @@ def run_temporal_study(
     levels: Optional[int] = None,
     eta: float = DEFAULT_ETA,
     verbose: bool = True,
+    measure_steady: bool = False,
 ) -> dict:
-    """Notebook cell 11: fixed grid, dt = base_dt / 2^k ladder."""
+    """Notebook cell 11: dt = base_dt / 2^k ladder.
+
+    The grid is fixed (``N``) for five studies; the peaks study recomputes
+    it per level from dt (``N_of_dt`` — see :func:`_peaks_temporal_N`).
+    Each level gets its own Krylov budget (levels are separate XLA programs
+    regardless, so per-level budgets cost no extra compiles and keep the
+    fine-dt levels on the cheap 16-iteration path).
+    """
     cfg = STUDIES[study]
+    mc = study_consts(study)
     tcfg = cfg["temporal"]
     levels = levels or tcfg["levels"]
-    N = tcfg["N"]
     Tf = tcfg["Tf"]
-    # the coarsest dt level is the stiffest; one budget serves the ladder,
-    # sized for the finest level's step count (where runtime dominates)
-    import math
+    N_of_dt = tcfg.get("N_of_dt")
 
-    finest_steps = math.ceil(Tf / (tcfg["base_dt"] / 2 ** (levels - 1)))
-    trial = _make_trial(
-        cfg["case_cls"], N, eta,
-        krylov_unroll=choose_krylov_unroll(N, tcfg["base_dt"], num_steps=finest_steps),
-    )
     errors: List[float] = []
     times: List[float] = []
+    steady: List[float] = []
     dts: List[float] = []
+    Ns: List[int] = []
+    trials: Dict[tuple, MMSTrial] = {}  # keyed on (N, budget); ladders share
     for k in range(levels):
         dt = tcfg["base_dt"] / 2**k
+        N = N_of_dt(dt) if N_of_dt is not None else tcfg["N"]
+        dts.append(dt)
+        Ns.append(N)
+        if N < 2:
+            # Degenerate all-boundary grid: every node pinned at 0 and the
+            # exact solution vanishes there, so the combined error is
+            # identically zero (reproduces the reference's saved 0.0 levels).
+            errors.append(0.0)
+            times.append(0.0)
+            if measure_steady:
+                steady.append(0.0)
+            if verbose:
+                print(f"  [temporal {study}] dt={dt:.3e} N={N} err=0 (degenerate all-boundary grid)")
+            continue
+        unroll = choose_krylov_unroll(N, dt, mc)
+        trial = trials.get((N, unroll))
+        if trial is None:
+            trial = trials[(N, unroll)] = _make_trial(
+                cfg["case_cls"], N, eta, mc=mc, krylov_unroll=unroll
+            )
         t0 = time.perf_counter()
         summary = trial.run_for_errors(Tf=Tf, dt=dt)
         elapsed = time.perf_counter() - t0
+        if measure_steady:
+            t0 = time.perf_counter()
+            trial.run_for_errors(Tf=Tf, dt=dt)
+            steady.append(time.perf_counter() - t0)
         errors.append(summary.overall_combined_error)
         times.append(elapsed)
-        dts.append(dt)
         if verbose:
-            print(f"  [temporal {study}] dt={dt:.3e} err={errors[-1]:.6e} ({elapsed:.2f}s)")
+            extra = f" steady={steady[-1]:.2f}s" if measure_steady else ""
+            print(f"  [temporal {study}] dt={dt:.3e} N={N} err={errors[-1]:.6e} ({elapsed:.2f}s{extra})")
     rates = calculate_observed_rates(errors) if len(errors) >= 3 else []
     return dict(
         study=study,
         kind="temporal",
-        N=N,
+        N=Ns[-1] if N_of_dt is not None else tcfg["N"],
+        Ns=Ns,
         Tf=Tf,
         eta=eta,
         dts=dts,
         errors=errors,
         wallclock_s=times,
+        steady_s=steady or None,
         rates=[r for r, _ in rates],
         statuses=[s for _, s in rates],
     )
@@ -274,14 +352,15 @@ def run_eta_study_batched(
     from na_dd_tpu.ops.shifts import LOCAL_OPS
 
     cfg = STUDIES[study]
+    mc = study_consts(study)
     etas = etas or ETA_LADDER
     grid = make_uniform_grid(N, N)
-    model = Model02(STUDY_MODEL_CONSTS)
+    model = Model02(mc)
     case = cfg["case_cls"](grid=grid, model=model)
     s0 = state_from_mms_when(mms_case=case, t=0.0, grid=grid)
     num_steps = math.ceil(Tf / dt)
     dt_adj = Tf / num_steps
-    unroll = choose_krylov_unroll(N, dt_adj)
+    unroll = choose_krylov_unroll(N, dt_adj, mc)
 
     def simulate_one(eta):
         forcing = _Forcing(mms_case=case, model=model, regularization_factor=eta)
@@ -359,6 +438,7 @@ def run_eta_study(
 ) -> dict:
     """Notebook cell 13: regularization-factor sweep at fixed N and dt."""
     cfg = STUDIES[study]
+    mc = study_consts(study)
     etas = etas or ETA_LADDER
     errors: List[float] = []
     times: List[float] = []
@@ -367,8 +447,8 @@ def run_eta_study(
     nsteps = math.ceil(Tf / dt)
     for eta in etas:
         trial = _make_trial(
-            cfg["case_cls"], N, eta,
-            krylov_unroll=choose_krylov_unroll(N, dt, num_steps=nsteps),
+            cfg["case_cls"], N, eta, mc=mc,
+            krylov_unroll=choose_krylov_unroll(N, dt, mc, num_steps=nsteps),
         )
         t0 = time.perf_counter()
         summary = trial.run_for_errors(Tf=Tf, dt=dt)

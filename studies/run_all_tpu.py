@@ -1,13 +1,16 @@
 #!/usr/bin/env python
 """Full reproduction of all six reference convergence-study notebooks.
 
-Runs every study (spatial + temporal + one eta sweep) sequentially on the
-attached accelerator, saving per-study JSON under studies/results/ and a
-combined REPRODUCTION.md at the repo root.  Ordered so the cheap headline
-studies land first; safe to interrupt (results are flushed per study).
+Runs every study (spatial + temporal + eta sweep, 18 runs total) sequentially
+on the attached accelerator, saving per-study JSON under studies/results/ and
+a combined REPRODUCTION.md at the repo root with per-level comparison against
+the notebooks' saved outputs (studies/reference_values.py).  Safe to
+interrupt: results are flushed per study and completed levels replay from the
+persistent compilation cache.
 """
 
 import json
+import math
 import os
 import sys
 import time
@@ -26,41 +29,39 @@ from na_dd_tpu.config import enable_persistent_compilation_cache
 enable_persistent_compilation_cache()
 
 from na_dd_tpu.harness.studies import (
-    STUDIES,
     run_eta_study_batched,
     run_spatial_study,
     run_temporal_study,
+)
+from studies.reference_values import (
+    REFERENCE_ERRORS,
+    REFERENCE_FINAL_RATE,
+    REFERENCE_FINEST_WALLCLOCK,
 )
 
 RESULTS_DIR = os.path.join(os.path.dirname(__file__), "results")
 REPRO_MD = os.path.join(os.path.dirname(__file__), "..", "REPRODUCTION.md")
 
-# Reference notebook outputs for comparison (BASELINE.md / SURVEY.md §6).
-REFERENCE = {
-    ("pol", "spatial"): dict(final_error=4.38e-9, final_rate=1.993, wallclock_finest=280.4),
-    ("expsin", "spatial"): dict(final_error=1.28e-9, final_rate=2.004, wallclock_finest=247.1),
-    ("nfsp_cpcsH2_TclcdH3", "spatial"): dict(final_error=1.18e-8, final_rate=1.961, wallclock_finest=24204.0),
-    ("nfsp_cpcsH2_TclcdH2", "spatial"): dict(final_error=7.64e-8, final_rate=4.482, wallclock_finest=23092.0),
-    ("nfsp_cpcsH1_TclcdH2", "spatial"): dict(final_error=8.65e-8, final_rate=1.054, wallclock_finest=24416.0),
-    ("peaks_fast1e1", "spatial"): dict(final_error=1.33e-5, final_rate=2.092, wallclock_finest=25145.0),
-    ("peaks_fast1e1", "temporal"): dict(final_error=1.34e-3, final_rate=1.996, wallclock_finest=2108.5),
-}
-
-# Ordered so already-cached/cheap studies land first; the stiff peaks
-# temporal ladder (biggest unrolled programs -> slowest compiles) runs last.
+# Ordered so the cheap/headline studies land first; heavy Tf=1 spatial
+# ladders in the middle; the long peaks temporal ladder last.
 PLAN = [
     ("pol", "spatial", dict(levels=8)),
+    ("pol", "temporal", {}),
     ("pol", "eta", {}),
     ("expsin", "spatial", dict(levels=8)),
     ("expsin", "temporal", {}),
-    ("peaks_fast1e1", "spatial", dict(levels=8)),
+    ("expsin", "eta", {}),
     ("nfsp_cpcsH2_TclcdH3", "spatial", dict(levels=8)),
-    ("nfsp_cpcsH2_TclcdH2", "spatial", dict(levels=8)),
-    ("nfsp_cpcsH1_TclcdH2", "spatial", dict(levels=8)),
-    ("pol", "temporal", {}),
     ("nfsp_cpcsH2_TclcdH3", "temporal", {}),
+    ("nfsp_cpcsH2_TclcdH3", "eta", {}),
+    ("nfsp_cpcsH2_TclcdH2", "spatial", dict(levels=8)),
     ("nfsp_cpcsH2_TclcdH2", "temporal", {}),
+    ("nfsp_cpcsH2_TclcdH2", "eta", {}),
+    ("nfsp_cpcsH1_TclcdH2", "spatial", dict(levels=8)),
     ("nfsp_cpcsH1_TclcdH2", "temporal", {}),
+    ("nfsp_cpcsH1_TclcdH2", "eta", {}),
+    ("peaks_fast1e1", "spatial", dict(levels=8)),
+    ("peaks_fast1e1", "eta", {}),
     ("peaks_fast1e1", "temporal", {}),
 ]
 
@@ -72,58 +73,117 @@ def _save_json(result):
         json.dump(result, f, indent=2)
 
 
-def _append_md(lines):
-    with open(REPRO_MD, "a") as f:
-        f.write("\n".join(lines) + "\n")
+def _max_rel_dev(ours, ref):
+    """Max per-level relative deviation vs the reference list (nan-safe)."""
+    devs = []
+    for a, b in zip(ours, ref):
+        if b == 0.0:
+            devs.append(0.0 if a == 0.0 else math.inf)
+        else:
+            devs.append(abs(a - b) / abs(b))
+    return max(devs) if devs else float("nan")
 
 
 def main():
     device = str(jax.devices()[0])
-    with open(REPRO_MD, "w") as f:
-        f.write(
-            "# REPRODUCTION — the six reference convergence studies on TPU\n\n"
-            f"Device: {device}; float64; PC-RegHCsTriple, eta=50; protocols and\n"
-            "study constants identical to the reference notebooks.\n"
-            "Reference wall-clocks are the saved notebook outputs (author CPU).\n\n"
-            "| study | kind | final error (ours) | final error (ref) | final rate (ours/ref) "
-            "| finest-level wall-clock ours vs ref |\n"
-            "|---|---|---|---|---|---|\n"
-        )
+    rows = []
+    t_start = time.time()
 
     for study, kind, kwargs in PLAN:
         print(f"\n########## {study} / {kind} ##########", flush=True)
         t0 = time.time()
         try:
             if kind == "spatial":
-                res = run_spatial_study(study, **kwargs)
+                res = run_spatial_study(study, measure_steady=True, **kwargs)
             elif kind == "temporal":
-                res = run_temporal_study(study, **kwargs)
+                res = run_temporal_study(study, measure_steady=True, **kwargs)
             else:
                 # all eta values in one vmapped program (reference loops them)
                 res = run_eta_study_batched(study, **kwargs)
         except Exception:
             traceback.print_exc()
-            _append_md([f"| {study} | {kind} | FAILED | | | |"])
+            rows.append((study, kind, None))
             continue
         res["total_wallclock_s"] = time.time() - t0
-        _save_json(res)
 
-        ref = REFERENCE.get((study, kind), {})
+        ref_errors = REFERENCE_ERRORS.get((study, kind.replace("eta_batched", "eta")))
+        if ref_errors:
+            res["reference_errors"] = ref_errors
+            res["max_rel_dev_vs_reference"] = _max_rel_dev(res["errors"], ref_errors)
+        _save_json(res)
+        rows.append((study, kind, res))
+        print(
+            f"########## done {study}/{kind} in {res['total_wallclock_s']:.1f}s "
+            f"max_rel_dev={res.get('max_rel_dev_vs_reference', float('nan')):.2e}",
+            flush=True,
+        )
+
+    # ---- REPRODUCTION.md ----
+    lines = [
+        "# REPRODUCTION — the six reference convergence studies on TPU",
+        "",
+        f"Device: {device}; float64; PC-RegHCsTriple, eta=50 (eta studies sweep",
+        "10..1000); protocols and per-notebook model constants identical to the",
+        "reference notebooks (see studies/reference_values.py for the extracted",
+        "ground truth and protocol notes).  'max rel dev' is the worst per-level",
+        "relative deviation of our error vs the notebook's saved output across",
+        "the WHOLE ladder, not just the finest level.  'steady' is the warm-cache",
+        "compile-free wall-clock of the finest level (the honest apples-to-apples",
+        "number vs the reference's serial CPU time); 'first' includes one-time",
+        "XLA compilation / cache loading.",
+        "",
+        "| study | kind | levels | final error (ours) | final error (ref) | "
+        "max rel dev | final rate (ours/ref) | finest steady vs ref | speedup |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for study, kind, res in rows:
+        kindkey = "eta" if kind.startswith("eta") else kind
+        if res is None:
+            lines.append(f"| {study} | {kindkey} | FAILED | | | | | | |")
+            continue
+        ref_errors = REFERENCE_ERRORS.get((study, kindkey), [])
+        ref_rate = REFERENCE_FINAL_RATE.get((study, kindkey))
+        ref_t = REFERENCE_FINEST_WALLCLOCK.get((study, kindkey))
         final_err = res["errors"][-1]
         final_rate = res["rates"][-1] if res.get("rates") else float("nan")
-        ours_t = res["wallclock_s"][-1]
-        ref_e = ref.get("final_error")
-        ref_r = ref.get("final_rate")
-        ref_t = ref.get("wallclock_finest")
-        _append_md(
-            [
-                f"| {study} | {kind} | {final_err:.3e} | "
-                f"{(f'{ref_e:.3e}' if ref_e else '—')} | "
-                f"{final_rate:.3f} / {(f'{ref_r:.3f}' if ref_r else '—')} | "
-                f"{ours_t:.2f}s vs {(f'{ref_t:.0f}s ({ref_t/ours_t:.0f}x)' if ref_t else '—')} |"
-            ]
+        steady = (res.get("steady_s") or res["wallclock_s"])[-1]
+        dev = res.get("max_rel_dev_vs_reference", float("nan"))
+        lines.append(
+            f"| {study} | {kindkey} | {len(res['errors'])} | {final_err:.3e} | "
+            f"{(f'{ref_errors[-1]:.3e}' if ref_errors else '—')} | "
+            f"{dev:.1e} | "
+            f"{final_rate:.3f} / {(f'{ref_rate:.3f}' if ref_rate else '—')} | "
+            f"{steady:.2f}s vs {(f'{ref_t:.0f}s' if ref_t else '—')} | "
+            f"{(f'{ref_t / steady:.0f}x' if ref_t and steady > 0 else '—')} |"
         )
-        print(f"########## done {study}/{kind} in {res['total_wallclock_s']:.1f}s", flush=True)
+
+    lines += [
+        "",
+        "## Per-level detail",
+        "",
+        "Full per-level errors, reference values, first-run and steady",
+        "wall-clocks are archived in `studies/results/*.json`",
+        "(`errors` / `reference_errors` / `wallclock_s` / `steady_s`).",
+        "",
+        "## Notes",
+        "",
+        "- Eta sweeps run all seven regularization factors in ONE vmapped XLA",
+        "  program (the reference loops them serially); the sweep's wall-clock",
+        "  column is the whole batch.",
+        "- The peaks temporal ladder reproduces the reference protocol exactly,",
+        "  including its quirk: the notebook recomputes N = ceil(1/(2 dt)) per",
+        "  level (FIXED_GRID_SIZE=200 is dead code in cell 11) and its first",
+        "  two levels use an N=1 all-boundary grid whose error is identically",
+        "  0.0 (every node is pinned to the boundary value and the manufactured",
+        "  solution vanishes there).",
+        "- Temporal ladders whose rates are nan/negative reproduce the",
+        "  reference's own behavior (errors sitting on the spatial floor).",
+        f"- Total reproduction wall-clock: {time.time() - t_start:.0f}s",
+        "  (one TPU v5e chip, f64, persistent compile cache).",
+    ]
+    with open(REPRO_MD, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"\nwrote {REPRO_MD}", flush=True)
 
 
 if __name__ == "__main__":
