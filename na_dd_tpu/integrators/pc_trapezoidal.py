@@ -296,15 +296,39 @@ class PCTrapezoidalBase:
         all_converged = jnp.asarray(True)
         hcs_ok = jnp.asarray(True)
 
+        def one_sweep(cp_k, cs_k, T_k, cl_k, cd_k, acc):
+            it_acc, rn_acc, cv_acc = acc
+            s = State(cp=cp_k, T=T_k, cl=cl_k, cd=cd_k, cs=cs_k)
+            T_n, cl_n, cd_n, res_n, iters, resnorm, converged = self._newton_sweep(
+                g, ops, s, t1, dt, Y, red, black
+            )
+            acc_n = (
+                it_acc + iters,
+                jnp.maximum(rn_acc, resnorm),
+                jnp.logical_and(cv_acc, converged),
+            )
+            return T_n, cl_n, cd_n, res_n, acc_n
+
         for _pc in range(self.num_pc_steps):
-            for _newton in range(self.num_newton_steps):
-                s = State(cp=cp1, T=T1, cl=cl1, cd=cd1, cs=cs1)
-                T1, cl1, cd1, res, iters, resnorm, converged = self._newton_sweep(
-                    g, ops, s, t1, dt, Y, red, black
+            acc = (total_iters, worst_resnorm, all_converged)
+            if self.num_newton_steps == 1:
+                T1, cl1, cd1, res, acc = one_sweep(cp1, cs1, T1, cl1, cd1, acc)
+            else:
+                # scan over identical Newton sweeps: the sweep body (three
+                # linearize+probe+Krylov solves) is traced/compiled ONCE
+                # instead of num_newton_steps times — 3-5x faster compiles
+                # for multi-sweep configurations, bit-identical results
+                # (the loop is a plain fixed-trip-count iteration).
+                def scan_body(carry, _):
+                    T_k, cl_k, cd_k, _res_k, acc_k = carry
+                    T_n, cl_n, cd_n, res_n, acc_n = one_sweep(cp1, cs1, T_k, cl_k, cd_k, acc_k)
+                    return (T_n, cl_n, cd_n, res_n, acc_n), None
+
+                init = (T1, cl1, cd1, res, acc)
+                (T1, cl1, cd1, res, acc), _ = jax.lax.scan(
+                    scan_body, init, None, length=self.num_newton_steps
                 )
-                total_iters = total_iters + iters
-                worst_resnorm = jnp.maximum(worst_resnorm, resnorm)
-                all_converged = jnp.logical_and(all_converged, converged)
+            total_iters, worst_resnorm, all_converged = acc
             cp1 = self.corrector_cp_step(g, ops, T1, cl1, cd1, at_t0=at_t0, t0=t0, dt=dt)
             cs1, ok = self.corrector_cs_step(g, ops, T1, cl1, cd1, at_t0=at_t0, t0=t0, dt=dt)
             hcs_ok = jnp.logical_and(hcs_ok, ok)
@@ -423,6 +447,30 @@ class PCTrapezoidalRegHCsTriple(PCTrapezoidalBase):
         e = jnp.exp(-eta * x)
         return 2.0 + 2.0 * e - eta * (2.0 * x - y) * e
 
+    @staticmethod
+    def _newton_delta(x, y, a, eta):
+        """dx = -f/J for f = 2x + (2x-y)e^{-ηx} - y + a, overflow-free.
+
+        For ηx >= -300 this is the plain form (bit-identical to the
+        reference's iteration).  For ηx < -300 (reachable with violently
+        decaying cs, e.g. the StiffExpDecay/Peaks-Fast1e8 stress cases, where
+        e^{-ηx} would overflow to inf and poison the state with NaNs) both f
+        and J are multiplied by e^{ηx} analytically — the ratio is unchanged
+        but every intermediate stays finite.  Double-where keeps the inactive
+        branch NaN-free under jit/vmap."""
+        big = eta * x < -300.0
+        x_o = jnp.where(big, 0.0, x)
+        e = jnp.exp(-eta * x_o)
+        f_o = 2.0 * x_o + (2.0 * x_o - y) * e - y + a
+        J_o = 2.0 + 2.0 * e - eta * (2.0 * x_o - y) * e
+        x_s = jnp.where(big, x, 0.0)
+        ep = jnp.exp(eta * x_s)  # <= e^{-300} in the active branch
+        f_s = (2.0 * x_s - y + a) * ep + (2.0 * x_s - y)
+        J_s = 2.0 * ep + 2.0 - eta * (2.0 * x_s - y)
+        f = jnp.where(big, f_s, f_o)
+        J = jnp.where(big, J_s, J_o)
+        return -f / J
+
     def _newton_iterations(self, y, a, eta, x0):
         """Vectorized pointwise Newton with the reference's early-exit rule
         (max|dx| below rtol·|x| everywhere; src/prob1base.py:3654-3663).
@@ -435,9 +483,7 @@ class PCTrapezoidalRegHCsTriple(PCTrapezoidalBase):
         n = self._num_newton_iterations
 
         def newton_update(x):
-            f = self._predictor_equation(x, y, a, eta)
-            J = self._predictor_jacobian(x, y, a, eta)
-            dx = -f / J
+            dx = self._newton_delta(x, y, a, eta)
             x_new = x + dx
             done_new = jnp.all(jnp.max(jnp.abs(dx)) < rtol * jnp.abs(x_new))
             return x_new, done_new
