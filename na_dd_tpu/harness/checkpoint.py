@@ -85,24 +85,52 @@ def run_checkpointed(
     """Drive ``num_steps`` steps with periodic checkpoints; resumes from the
     latest checkpoint in ``directory`` when ``resume`` is set.
 
-    ``step_fn(state, t, dt) -> state`` should be jit-compiled by the caller.
+    Each inter-checkpoint segment of ``every`` steps runs as ONE scanned,
+    jitted XLA program — the host only sees the state at checkpoint
+    boundaries (a per-step host loop would be ~1000x slower).  ``step_fn``
+    must be traceable: ``step_fn(state, t, dt) -> state`` with ``t`` possibly
+    a traced scalar (any ``Integrator.step_fn`` closed over grid/ops
+    qualifies).  t0/dt are baked into the program as constants; only the
+    integer segment offset is traced, so per-step times t0 + k*dt stay exact.
     Returns (final_state, final_t).
     """
-    state, t, start = state0, t0, 0
+    import jax.numpy as jnp
+
+    segment_cache: dict = {}
+
+    def segment_runner(n: int):
+        run = segment_cache.get(n)
+        if run is None:
+
+            def body(s, k):
+                return step_fn(s, t0 + k * dt, dt), None
+
+            @jax.jit
+            def run(s, start):
+                ks = (start + jnp.arange(n)).astype(jnp.result_type(float))
+                s, _ = jax.lax.scan(body, s, ks)
+                return s
+
+            segment_cache[n] = run
+        return run
+
+    state, start = state0, 0
     if resume:
         ckpt = latest_checkpoint(directory)
         if ckpt is not None:
-            state, t, start, _ = load_state(ckpt)
-    for k in range(start, num_steps):
-        state = step_fn(state, t, dt)
-        t = t + dt
-        done = k + 1
-        if done % every == 0 or done == num_steps:
-            jax.block_until_ready(state)
-            save_state(
-                os.path.join(directory, f"ckpt_{done:08d}"), state, t=t, step=done
-            )
-    return state, t
+            state, _t, start, _ = load_state(ckpt)
+    while start < num_steps:
+        n = min(every, num_steps - start)
+        state = segment_runner(n)(state, start)
+        start += n
+        jax.block_until_ready(state)
+        save_state(
+            os.path.join(directory, f"ckpt_{start:08d}"),
+            state,
+            t=t0 + start * dt,
+            step=start,
+        )
+    return state, t0 + start * dt
 
 
 def save_state_orbax(path: str, state: State, *, t: float, step: int) -> str:

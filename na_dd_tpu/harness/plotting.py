@@ -1,12 +1,32 @@
-"""Plotting helpers for convergence studies (port of
-src/notebook_studies_helpers.py:62-179).  Matplotlib is imported lazily so the
-compute path never depends on it."""
+"""Plotting helpers for convergence studies.
+
+Functional equivalents of the reference's notebook helpers (rate report plot
+and MMS solution panel, src/notebook_studies_helpers.py:62-179) with this
+framework's own presentation: a single shared style, log-log error ladders
+with an explicit O(h^expected) guide line, observed rates drawn as a step
+chart against the guide, and a field panel laid out around one shared
+colormap.  Matplotlib is imported lazily so the compute path never depends
+on it.
+"""
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional, Sequence
 
 import numpy as np
+
+_FG = "#22313f"  # slate foreground
+_ACCENT = "#0b7285"  # teal: measured data
+_GUIDE = "#c2571a"  # burnt orange: expected-order guides
+
+
+def _style(ax, title: str, xlabel: str, ylabel: str):
+    ax.set_title(title, color=_FG, fontsize=11, loc="left")
+    ax.set_xlabel(xlabel, color=_FG)
+    ax.set_ylabel(ylabel, color=_FG)
+    ax.grid(True, which="both", linewidth=0.4, alpha=0.45)
+    for spine in ("top", "right"):
+        ax.spines[spine].set_visible(False)
 
 
 def plot_errors_and_rates(
@@ -15,51 +35,72 @@ def plot_errors_and_rates(
     x_values: List,
     x_label: str,
     title: str,
-    expected_rate: float = None,
+    expected_rate: Optional[float] = None,
     log_scale: bool = True,
-    save_path: str = None,
+    save_path: Optional[str] = None,
 ):
+    """Error ladder + observed 3-point rates.
+
+    Left: the error sequence on log-log axes, with a dashed O(x^-expected)
+    guide anchored at the final point so the asymptotic regime is readable at
+    a glance.  Right: observed rates as a step chart with the expected-order
+    band (±0.25) shaded.
+    """
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(15, 6))
+    fig, (ax_err, ax_rate) = plt.subplots(1, 2, figsize=(11, 4.2), dpi=110)
 
-    ax1.plot(x_values, errors, "o-", linewidth=2, markersize=8)
+    xs = np.asarray(x_values, dtype=float)
+    es = np.asarray(errors, dtype=float)
+    ax_err.plot(xs, es, marker=".", markersize=9, linewidth=1.3, color=_ACCENT)
+    if expected_rate and len(xs) >= 2:
+        guide = es[-1] * (xs / xs[-1]) ** (-expected_rate)
+        ax_err.plot(xs, guide, "--", linewidth=1.0, color=_GUIDE,
+                    label=rf"$\mathcal{{O}}({x_label}^{{-{expected_rate:g}}})$ guide")
+        ax_err.legend(frameon=False, fontsize=9)
     if log_scale:
-        ax1.set_xscale("log")
-        ax1.set_yscale("log")
-    ax1.set_xlabel(x_label)
-    ax1.set_ylabel("Error")
-    ax1.set_title(f"{title} - Error Values")
-    ax1.grid(True, which="both", ls="-")
+        ax_err.set_xscale("log", base=2)
+        ax_err.set_yscale("log")
+    _style(ax_err, f"{title}: combined error", x_label, "combined MMS error")
 
     if rates:
-        rate_x = x_values[1:-1]
-        ax2.plot(rate_x, rates, "o-", linewidth=2, markersize=8)
+        rate_x = np.asarray(x_values[2 : 2 + len(rates)], dtype=float)
+        ax_rate.step(rate_x, rates, where="mid", color=_ACCENT, linewidth=1.5)
+        ax_rate.plot(rate_x, rates, ".", markersize=9, color=_ACCENT)
         if expected_rate:
-            ax2.axhline(y=expected_rate, color="r", linestyle="--",
-                        label=f"Expected Rate = {expected_rate}")
-            ax2.legend()
-        ax2.set_xlabel(x_label)
-        ax2.set_ylabel("Convergence Rate")
-        ax2.set_title(f"{title} - Convergence Rates")
-        ax2.grid(True)
+            ax_rate.axhspan(expected_rate - 0.25, expected_rate + 0.25,
+                            color=_GUIDE, alpha=0.12, lw=0)
+            ax_rate.axhline(expected_rate, color=_GUIDE, linewidth=0.9,
+                            linestyle=":", label=f"expected {expected_rate:g}")
+            ax_rate.legend(frameon=False, fontsize=9)
+        if log_scale:
+            ax_rate.set_xscale("log", base=2)
+        _style(ax_rate, f"{title}: observed order", x_label, "3-point rate")
     else:
-        ax2.text(0.5, 0.5, "Not enough data points\nto calculate rates",
-                 ha="center", va="center", fontsize=14)
+        ax_rate.axis("off")
+        ax_rate.text(0.5, 0.5, "fewer than 3 levels —\nno observable rate",
+                     ha="center", va="center", fontsize=11, color=_FG)
 
-    plt.tight_layout()
+    fig.tight_layout()
     if save_path:
-        fig.savefig(save_path, dpi=120)
+        fig.savefig(save_path, bbox_inches="tight")
         plt.close(fig)
         return save_path
     return fig
 
 
-def visualize_mms_solution(mms_case, time_point: float = 0.1, save_path: str = None):
-    """2×3 contour panel of the five fields + regularized-Heaviside profile."""
+def visualize_mms_solution(
+    mms_case,
+    time_point: float = 0.1,
+    save_path: Optional[str] = None,
+    etas: Sequence[float] = (10.0, 100.0, 1000.0),
+):
+    """Snapshot of the five manufactured fields at ``time_point`` plus the
+    H_eta regularization profile, as a 2×3 grid sharing one colormap per row
+    (concentrations) and a dedicated one for temperature."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -69,32 +110,36 @@ def visualize_mms_solution(mms_case, time_point: float = 0.1, save_path: str = N
 
     grid = mms_case.grid
     xx, yy = np.asarray(grid.xx), np.asarray(grid.yy)
-    fig, axs = plt.subplots(2, 3, figsize=(18, 10))
-    panels = [
-        ("T (Temperature)", mms_case.T, "hot", (0, 0)),
-        ("cp (Polymer Concentration)", mms_case.cp, "viridis", (0, 1)),
-        ("cl (Liquid Concentration)", mms_case.cl, "Blues", (0, 2)),
-        ("cd (Dissolved Concentration)", mms_case.cd, "Greens", (1, 0)),
-        ("cs (Solid Concentration)", mms_case.cs, "Purples", (1, 1)),
+    fig, axs = plt.subplots(2, 3, figsize=(12.5, 7.5), dpi=110)
+
+    layout = [
+        ("T", "temperature T", "magma", axs[0, 0]),
+        ("cp", "polymer cp", "cividis", axs[0, 1]),
+        ("cl", "solvent cl", "cividis", axs[0, 2]),
+        ("cd", "dissolved drug cd", "cividis", axs[1, 0]),
+        ("cs", "solid drug cs", "cividis", axs[1, 1]),
     ]
-    for title, fn, cmap, (r, c) in panels:
-        vals = np.asarray(fn(time_point, grid.xx, grid.yy))
-        im = axs[r, c].contourf(xx, yy, vals, cmap=cmap)
-        plt.colorbar(im, ax=axs[r, c])
-        axs[r, c].set_title(title)
+    for var, label, cmap, ax in layout:
+        vals = np.asarray(getattr(mms_case, var)(time_point, grid.xx, grid.yy))
+        im = ax.pcolormesh(xx, yy, vals, cmap=cmap, shading="gouraud")
+        fig.colorbar(im, ax=ax, shrink=0.85, pad=0.02)
+        _style(ax, label, "x", "y")
+        ax.set_aspect("equal")
 
-    x_vals = np.linspace(-1, 1, 1000)
-    for eta in (10, 50, 100):
-        axs[1, 2].plot(x_vals, np.asarray(heaviside_regularized(x_vals, eta)), label=f"eta = {eta}")
-    axs[1, 2].set_title("Regularized Heaviside Function")
-    axs[1, 2].legend()
-    axs[1, 2].grid(True)
+    ax_h = axs[1, 2]
+    s = np.linspace(-0.6, 0.6, 801)
+    for eta in etas:
+        ax_h.plot(s, np.asarray(heaviside_regularized(s, eta)),
+                  linewidth=1.3, label=rf"$\eta={eta:g}$")
+    ax_h.axvline(0.0, color=_FG, linewidth=0.6, alpha=0.5)
+    _style(ax_h, r"regularized Heaviside $H_\eta$", "cs", r"$H_\eta(cs)$")
+    ax_h.legend(frameon=False, fontsize=9)
 
-    plt.tight_layout()
-    plt.suptitle(f"MMS Solution at time t = {time_point}", fontsize=16)
-    plt.subplots_adjust(top=0.93)
+    fig.suptitle(f"manufactured solution at t = {time_point:g}", color=_FG,
+                 fontsize=13, x=0.02, ha="left")
+    fig.tight_layout(rect=(0, 0, 1, 0.96))
     if save_path:
-        fig.savefig(save_path, dpi=120)
+        fig.savefig(save_path, bbox_inches="tight")
         plt.close(fig)
         return save_path
     return fig
