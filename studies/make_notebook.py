@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Generate runnable convergence-study notebooks.
+"""Generate convergence-study notebooks, optionally with saved outputs.
 
 Counterpart of the reference's notebook front-end (six hand-copied
 ``*_convergence_study.ipynb`` files plus the ``modify_notebook_cell``
@@ -7,16 +7,27 @@ templating helper, reference src/notebook_studies_helpers.py:183-211).
 Instead of mutating a template, each notebook is generated from the study
 registry — .ipynb is plain JSON, so no nbformat dependency is needed.
 
-    python studies/make_notebook.py --study expsin
+With ``--embed-results`` (the default when archived results exist) each study
+cell carries SAVED OUTPUTS built from ``studies/results/*.json``: the
+per-level error/wall-clock lines, the rate report, and the rendered
+error/rate plot — so the notebooks are inspectable artifacts exactly like
+the reference's executed notebooks, without re-running hours of TPU time.
+The cells remain runnable; re-executing reproduces the embedded numbers.
+
     python studies/make_notebook.py --all
+    python studies/make_notebook.py --study expsin --no-embed-results
 """
 
 import argparse
+import base64
+import io
 import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS_DIR = os.path.join(os.path.dirname(__file__), "results")
 
 STUDY_KEYS = [
     "pol",
@@ -28,12 +39,12 @@ STUDY_KEYS = [
 ]
 
 
-def _code(src):
+def _code(src, outputs=None):
     return {
         "cell_type": "code",
         "execution_count": None,
         "metadata": {},
-        "outputs": [],
+        "outputs": outputs or [],
         "source": src.splitlines(keepends=True),
     }
 
@@ -42,14 +53,103 @@ def _md(src):
     return {"cell_type": "markdown", "metadata": {}, "source": src.splitlines(keepends=True)}
 
 
-def build_notebook(study: str) -> dict:
+def _stream(text):
+    return {"output_type": "stream", "name": "stdout", "text": text.splitlines(keepends=True)}
+
+
+def _png_output(fig_bytes):
+    return {
+        "output_type": "display_data",
+        "data": {"image/png": base64.b64encode(fig_bytes).decode("ascii")},
+        "metadata": {},
+    }
+
+
+def _load_result(study, kind):
+    for name in (f"{study}_{kind}.json", f"{study}_{kind}_batched.json"):
+        path = os.path.join(RESULTS_DIR, name)
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+    return None
+
+
+def _rate_plot_png(res, x_key, x_label, title):
+    from na_dd_tpu.harness.plotting import plot_errors_and_rates
+
+    fig = plot_errors_and_rates(
+        res["errors"], res.get("rates") or [], res[x_key], x_label, title,
+        expected_rate=2.0,
+    )
+    buf = io.BytesIO()
+    fig.savefig(buf, format="png", bbox_inches="tight")
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+    return buf.getvalue()
+
+
+def _study_outputs(study, kind, x_key, x_label):
+    """Saved outputs for a spatial/temporal study cell from archived JSON."""
+    res = _load_result(study, kind)
+    if res is None:
+        return None
+    lines = []
+    xs = res[x_key]
+    steady = res.get("steady_s") or [None] * len(xs)
+    for i, (x, err, t) in enumerate(zip(xs, res["errors"], res["wallclock_s"])):
+        extra = f" steady={steady[i]:.2f}s" if steady[i] is not None else ""
+        lines.append(f"  [{kind} {study}] {x_label}={x} err={err:.6e} ({t:.2f}s{extra})")
+    if res.get("reference_errors"):
+        lines.append(
+            f"  reference per-level errors: "
+            + ", ".join(f"{e:.4e}" for e in res["reference_errors"])
+        )
+        lines.append(
+            f"  max relative deviation vs reference: "
+            f"{res.get('max_rel_dev_vs_reference', float('nan')):.2e}"
+        )
+    if res.get("rates"):
+        lines.append(f"  observed rates: " + ", ".join(f"{r:.3f}" for r in res["rates"]))
+    outputs = [_stream("\n".join(lines) + "\n")]
+    try:
+        outputs.append(_png_output(_rate_plot_png(res, x_key, x_label, f"{study} {kind}")))
+    except Exception:
+        pass
+    return outputs
+
+
+def _eta_outputs(study):
+    res = _load_result(study, "eta") or _load_result(study, "eta_batched")
+    if res is None:
+        return None
+    lines = [
+        f"  [eta {study}] eta={eta:7.1f} err={err:.6e}"
+        for eta, err in zip(res["etas"], res["errors"])
+    ]
+    if res.get("reference_errors"):
+        lines.append(
+            "  reference: " + ", ".join(f"{e:.6e}" for e in res["reference_errors"])
+        )
+    lines.append(
+        f"  whole sweep in one vmapped program: {res['wallclock_s'][-1]:.2f}s"
+    )
+    return [_stream("\n".join(lines) + "\n")]
+
+
+def build_notebook(study: str, embed_results: bool = True) -> dict:
+    sp_out = _study_outputs(study, "spatial", "Ns", "N") if embed_results else None
+    tm_out = _study_outputs(study, "temporal", "dts", "dt") if embed_results else None
+    eta_out = _eta_outputs(study) if embed_results else None
     cells = [
         _md(
             f"# Convergence study: `{study}` (PC-RegHCsTriple, eta=50)\n\n"
             "TPU-native reproduction of the reference notebook protocol: spatial\n"
             "ladder N=2·2^k with dt=h^1.5, temporal dt-halving ladder, and the\n"
             "regularization-factor sweep. Each simulation runs as one fused XLA\n"
-            "program."
+            "program. Saved outputs below were produced on a TPU v5e chip\n"
+            "(float64); see REPRODUCTION.md for the comparison against the\n"
+            "reference's saved notebook outputs."
         ),
         _code(
             "import jax\n"
@@ -57,38 +157,43 @@ def build_notebook(study: str) -> dict:
             "from na_dd_tpu.config import enable_persistent_compilation_cache\n"
             "enable_persistent_compilation_cache()\n"
             "from na_dd_tpu.harness.studies import (\n"
-            "    run_spatial_study, run_temporal_study, run_eta_study_batched, STUDIES)\n"
+            "    run_spatial_study, run_temporal_study, run_eta_study_batched,\n"
+            "    STUDIES, study_consts)\n"
             "from na_dd_tpu.harness.rates import report_on_rates\n"
             "from na_dd_tpu.harness.plotting import plot_errors_and_rates, visualize_mms_solution\n"
             f"STUDY = {study!r}\n"
         ),
         _md("## Visualize the manufactured solution"),
         _code(
-            "from na_dd_tpu.harness.studies import STUDY_MODEL_CONSTS\n"
             "from na_dd_tpu.models import Model02\n"
             "from na_dd_tpu.ops import make_uniform_grid\n"
             "case = STUDIES[STUDY]['case_cls'](grid=make_uniform_grid(32, 32),\n"
-            "                                  model=Model02(STUDY_MODEL_CONSTS))\n"
+            "                                  model=Model02(study_consts(STUDY)))\n"
             "visualize_mms_solution(case, time_point=0.1)\n"
         ),
         _md("## Spatial convergence (cell 9 protocol)"),
         _code(
-            "spatial = run_spatial_study(STUDY, levels=8)\n"
+            "spatial = run_spatial_study(STUDY, levels=8, measure_steady=True)\n"
             "report_on_rates(spatial['errors'], expected_rate=2.0, tolerance=0.3,\n"
             "                title=f'{STUDY} spatial rates')\n"
             "plot_errors_and_rates(spatial['errors'], spatial['rates'], spatial['Ns'],\n"
-            "                      'N', f'{STUDY} spatial', expected_rate=2.0)\n"
+            "                      'N', f'{STUDY} spatial', expected_rate=2.0)\n",
+            outputs=sp_out,
         ),
         _md("## Temporal convergence (cell 11 protocol)"),
         _code(
-            "temporal = run_temporal_study(STUDY)\n"
+            "temporal = run_temporal_study(STUDY, measure_steady=True)\n"
             "report_on_rates(temporal['errors'], expected_rate=2.0, tolerance=0.3,\n"
             "                title=f'{STUDY} temporal rates')\n"
             "plot_errors_and_rates(temporal['errors'], temporal['rates'], temporal['dts'],\n"
-            "                      'dt', f'{STUDY} temporal', expected_rate=2.0)\n"
+            "                      'dt', f'{STUDY} temporal', expected_rate=2.0)\n",
+            outputs=tm_out,
         ),
         _md("## Regularization-factor study (cell 13 protocol, vmapped)"),
-        _code("eta = run_eta_study_batched(STUDY)\nprint(dict(zip(eta['etas'], eta['errors'])))\n"),
+        _code(
+            "eta = run_eta_study_batched(STUDY)\nprint(dict(zip(eta['etas'], eta['errors'])))\n",
+            outputs=eta_out,
+        ),
     ]
     return {
         "cells": cells,
@@ -105,6 +210,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--study", choices=STUDY_KEYS)
     p.add_argument("--all", action="store_true")
+    p.add_argument("--no-embed-results", action="store_true")
     p.add_argument("--outdir", default=os.path.join(os.path.dirname(__file__), "notebooks"))
     args = p.parse_args()
     studies = STUDY_KEYS if args.all else [args.study or "expsin"]
@@ -112,7 +218,7 @@ def main():
     for study in studies:
         path = os.path.join(args.outdir, f"{study}_reghcstriple_convergence_study.ipynb")
         with open(path, "w") as f:
-            json.dump(build_notebook(study), f, indent=1)
+            json.dump(build_notebook(study, embed_results=not args.no_embed_results), f, indent=1)
         print(f"wrote {path}")
 
 
