@@ -275,6 +275,90 @@ def bicgstab_unrolled(
     return x, {"iters": iters_used, "resnorm_sq": rsq, "converged": rsq <= tol_sq}
 
 
+def bicgstab_scanned(
+    matvec,
+    b,
+    x0,
+    *,
+    dot,
+    minv=None,
+    tol: float = 1e-13,
+    atol: float = 0.0,
+    iters: int = 16,
+):
+    """The :func:`bicgstab_unrolled` iteration under ``lax.scan``.
+
+    Identical masked-early-exit update, but the body is traced/compiled ONCE
+    instead of ``iters`` times — the compile-time lever for very stiff solves
+    that need budgets of 96+ (a 60-iteration unrolled solve takes >2 min of
+    XLA compile on CPU; the scanned form compiles in seconds).  Takes the
+    same effective iteration count as the unrolled solver and agrees to ~1
+    ulp (XLA fuses the two program shapes slightly differently).  On the TPU
+    f64-emulation backend validate before substituting: the while_loop
+    solver's scalar-carry precision hazard may or may not extend to scan
+    carries — measure, don't assume.
+    """
+    if minv is None:
+        minv = lambda r: r
+
+    eps_div = jnp.asarray(1e-300, dtype=b.dtype)
+
+    def safe_div(num, den):
+        den_ok = jnp.abs(den) > eps_div
+        return jnp.where(den_ok, num / jnp.where(den_ok, den, 1.0), 0.0), den_ok
+
+    r0 = b - matvec(x0)
+    rhat = r0
+    bnorm_sq = dot(b, b)
+    tol_sq = jnp.maximum(tol * tol * bnorm_sq, atol * atol)
+    z = jnp.zeros_like(b)
+    one = jnp.asarray(1.0, dtype=b.dtype)
+
+    def body(carry, _):
+        (x, r, p, v, rho, alpha, omega, iters_used, done) = carry
+
+        def keep(old, new):
+            return jnp.where(done, old, new)
+
+        rho1 = dot(rhat, r)
+        ratio, ok1 = safe_div(rho1, rho)
+        aw, ok2 = safe_div(alpha, omega)
+        beta = ratio * aw
+        p_new = r + beta * (p - omega * v)
+        phat = minv(p_new)
+        v_new = matvec(phat)
+        alpha_new, ok3 = safe_div(rho1, dot(rhat, v_new))
+        s = r - alpha_new * v_new
+        x_half = x + alpha_new * phat
+        s_conv = dot(s, s) <= tol_sq
+
+        shat = minv(s)
+        t = matvec(shat)
+        omega_new, ok4 = safe_div(dot(t, s), dot(t, t))
+        x_full = x_half + omega_new * shat
+        r_new = jnp.where(s_conv, s, s - omega_new * t)
+        x_new = jnp.where(s_conv, x_half, x_full)
+
+        breakdown = jnp.logical_not(ok1 & ok2 & ok3 & ok4)
+        x = keep(x, x_new)
+        r = keep(r, r_new)
+        p = keep(p, p_new)
+        v = keep(v, v_new)
+        rho = keep(rho, rho1)
+        alpha = keep(alpha, alpha_new)
+        omega = keep(omega, omega_new)
+        iters_used = iters_used + jnp.where(done, 0, 1)
+        done = done | s_conv | breakdown | (dot(r, r) <= tol_sq)
+        return (x, r, p, v, rho, alpha, omega, iters_used, done), None
+
+    init = (
+        x0, r0, z, z, one, one, one, jnp.asarray(0), dot(r0, r0) <= tol_sq,
+    )
+    (x, r, *_rest, iters_used, _done), _ = jax.lax.scan(body, init, None, length=iters)
+    rsq = dot(r, r)
+    return x, {"iters": iters_used, "resnorm_sq": rsq, "converged": rsq <= tol_sq}
+
+
 def interior_linearized_matvec(residual_fn, u0, g: Grid, dt):
     """Build the Newton matvec ``w -> interior_mask*(2w - dt*J_F[u0] w)``.
 

@@ -103,6 +103,33 @@ def test_bicgstab_unrolled_matches_while():
     assert float(jnp.max(jnp.abs(x_u - x_true))) < 1e-9
 
 
+def test_bicgstab_scanned_matches_unrolled():
+    """The lax.scan formulation runs the exact same masked update as the
+    unrolled straight-line solver; it must take the SAME number of effective
+    iterations and agree to ~1 ulp (XLA fuses the scan body and straight-line
+    code slightly differently, so exact bitwise equality across the two
+    program shapes is not achievable)."""
+    g = make_uniform_grid(6, 7)
+    rng = np.random.RandomState(SEED + 9)
+    matvec = _random_stencil_operator(g, rng)
+    x_true = jnp.asarray(rng.rand(*g.full_shape)) * g.interior_mask
+    b = matvec(x_true)
+    dot = lambda u, v: OPS.asum(u * v)
+    for iters in (4, 16):
+        x_u, info_u = linsolve.bicgstab_unrolled(
+            matvec, b, jnp.zeros_like(b), dot=dot, tol=1e-14, iters=iters
+        )
+        x_s, info_s = jax.jit(
+            lambda bb: linsolve.bicgstab_scanned(
+                matvec, bb, jnp.zeros_like(bb), dot=dot, tol=1e-14, iters=iters
+            )
+        )(b)
+        np.testing.assert_allclose(
+            np.asarray(x_s), np.asarray(x_u), rtol=1e-13, atol=1e-14
+        )
+        assert int(info_u["iters"]) == int(info_s["iters"])
+
+
 def test_bicgstab_zero_rhs():
     g = make_uniform_grid(4, 4)
     rng = np.random.RandomState(SEED + 2)
