@@ -101,6 +101,7 @@ class PCTrapezoidalBase:
         krylov_unroll: int | None | str = "auto",
         assemble_stencil: bool = True,
         track_residuals: bool = True,
+        stencil_backend: str | None = None,
     ):
         """krylov_unroll: an int uses the fully-unrolled BiCGStab with that
         many straight-line iterations (early-exit masked) instead of the
@@ -116,7 +117,14 @@ class PCTrapezoidalBase:
         residual) and run the Krylov iterations on the assembled stencil —
         the TPU-shaped analogue of the reference's 5-diagonal CSR assembly,
         exact for these discretizations and much cheaper per iteration than
-        re-applying the linearized graph."""
+        re-applying the linearized graph.
+
+        stencil_backend: "jnp" (default) or "pallas" — the f32 production
+        path can route the assembled-stencil applies through the fused
+        VMEM-resident Pallas kernel (ops/pallas_kernels.py); Mosaic has no
+        f64, so "pallas" requires NA_DD_TPU_X64=0 on real TPU.  Defaults from
+        the NA_DD_TPU_STENCIL env var; silently used only on the local
+        (single-device) ops path."""
         self.semi_discrete_field = semi_discrete_field
         self._model = semi_discrete_field.model
         self._grid = semi_discrete_field.grid
@@ -131,6 +139,13 @@ class PCTrapezoidalBase:
         self.krylov_unroll = None if krylov_unroll is None else int(krylov_unroll)
         self.assemble_stencil = bool(assemble_stencil)
         self.track_residuals = bool(track_residuals)
+        if stencil_backend is None:
+            import os
+
+            stencil_backend = os.environ.get("NA_DD_TPU_STENCIL", "jnp")
+        if stencil_backend not in ("jnp", "pallas"):
+            raise ValueError(f"stencil_backend must be 'jnp' or 'pallas'; got {stencil_backend!r}")
+        self.stencil_backend = stencil_backend
         # Populated by the eager .step() wrapper for reference-API parity.
         self.last_residual: Dict[str, jax.Array] = {}
         self._jit_step = jax.jit(self.step_fn, static_argnums=1)
@@ -190,7 +205,12 @@ class PCTrapezoidalBase:
         def inner_solve(matvec, rhs):
             if self.assemble_stencil:
                 st = linsolve.probe_stencil(matvec, g)
-                matvec = lambda w: st.apply(ops, w)  # noqa: E731
+                if self.stencil_backend == "pallas" and ops is LOCAL_OPS:
+                    from na_dd_tpu.ops.pallas_kernels import stencil5_apply_pallas
+
+                    matvec = lambda w: stencil5_apply_pallas(st, w)  # noqa: E731
+                else:
+                    matvec = lambda w: st.apply(ops, w)  # noqa: E731
                 diag = st.c0
             else:
                 diag = linsolve.probe_diag(matvec, red * mask, black * mask)
