@@ -99,6 +99,7 @@ class PCTrapezoidalBase:
         krylov_tol: float = 1e-13,
         krylov_maxiter: int = 300,
         krylov_unroll: int | None | str = "auto",
+        krylov_scanned: bool = False,
         assemble_stencil: bool = True,
         track_residuals: bool = True,
         stencil_backend: str | None = None,
@@ -111,6 +112,10 @@ class PCTrapezoidalBase:
         on the TPU f64-emulation backend).  The default "auto" resolves
         per-backend via :func:`default_krylov_unroll`, so constructing an
         integrator with no solver args is safe on TPU.
+
+        krylov_scanned: run the fixed-budget masked iteration under lax.scan
+        instead of unrolling it (same update, ~1 ulp agreement, compile time
+        independent of the budget — see linsolve.bicgstab_scanned).
 
         assemble_stencil: extract the 5 stencil coefficient planes of each
         Newton operator once per solve (5 probing products of the linearized
@@ -137,6 +142,7 @@ class PCTrapezoidalBase:
                 raise ValueError(f"krylov_unroll must be an int, None or 'auto'; got {krylov_unroll!r}")
             krylov_unroll = default_krylov_unroll()
         self.krylov_unroll = None if krylov_unroll is None else int(krylov_unroll)
+        self.krylov_scanned = bool(krylov_scanned)
         self.assemble_stencil = bool(assemble_stencil)
         self.track_residuals = bool(track_residuals)
         if stencil_backend is None:
@@ -216,7 +222,12 @@ class PCTrapezoidalBase:
                 diag = linsolve.probe_diag(matvec, red * mask, black * mask)
             inv_diag = jnp.where(mask > 0, 1.0 / jnp.where(diag == 0, 1.0, diag), 0.0)
             if self.krylov_unroll is not None:
-                delta, info = linsolve.bicgstab_unrolled(
+                solver = (
+                    linsolve.bicgstab_scanned
+                    if self.krylov_scanned
+                    else linsolve.bicgstab_unrolled
+                )
+                delta, info = solver(
                     matvec,
                     rhs * mask,
                     jnp.zeros_like(rhs),
