@@ -32,6 +32,7 @@ from na_dd_tpu.harness.rates import report_on_rates
 from na_dd_tpu.harness.studies import (
     STUDIES,
     run_eta_study,
+    run_eta_study_batched,
     run_spatial_study,
     run_temporal_study,
 )
@@ -56,6 +57,8 @@ def main():
     p.add_argument("--levels", type=int, default=None, help="ladder depth override")
     p.add_argument("--all", action="store_true", help="run all six studies, all kinds")
     p.add_argument("--expected-rate", type=float, default=2.0)
+    p.add_argument("--serial-eta", action="store_true",
+                   help="run the eta sweep serially instead of vmapped")
     args = p.parse_args()
 
     def run_one(study, kind, levels):
@@ -65,7 +68,10 @@ def main():
         elif kind == "temporal":
             res = run_temporal_study(study, levels=levels)
         else:
-            res = run_eta_study(study)
+            # the vmapped sweep runs all seven eta values in ONE XLA program;
+            # --serial-eta keeps the reference's one-run-per-eta loop
+            runner = run_eta_study if args.serial_eta else run_eta_study_batched
+            res = runner(study)
         if kind in ("spatial", "temporal") and len(res["errors"]) >= 3:
             report_on_rates(
                 res["errors"],
