@@ -152,6 +152,11 @@ class PCTrapezoidalBase:
         if stencil_backend not in ("jnp", "pallas"):
             raise ValueError(f"stencil_backend must be 'jnp' or 'pallas'; got {stencil_backend!r}")
         self.stencil_backend = stencil_backend
+        import os
+
+        # measurement flag: probe the 5 stencil planes under one vmap instead
+        # of 5 inlined applies (see linsolve.probe_stencil_vmapped)
+        self.probe_vmapped = os.environ.get("NA_DD_TPU_PROBE", "") == "vmap"
         # Populated by the eager .step() wrapper for reference-API parity.
         self.last_residual: Dict[str, jax.Array] = {}
         self._jit_step = jax.jit(self.step_fn, static_argnums=1)
@@ -210,7 +215,12 @@ class PCTrapezoidalBase:
 
         def inner_solve(matvec, rhs):
             if self.assemble_stencil:
-                st = linsolve.probe_stencil(matvec, g)
+                probe = (
+                    linsolve.probe_stencil_vmapped
+                    if self.probe_vmapped
+                    else linsolve.probe_stencil
+                )
+                st = probe(matvec, g)
                 if self.stencil_backend == "pallas" and ops is LOCAL_OPS:
                     from na_dd_tpu.ops.pallas_kernels import stencil5_apply_pallas
 

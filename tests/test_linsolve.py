@@ -130,6 +130,18 @@ def test_bicgstab_scanned_matches_unrolled():
         assert int(info_u["iters"]) == int(info_s["iters"])
 
 
+def test_probe_stencil_vmapped_matches_plain():
+    g = make_uniform_grid(9, 7)
+    rng = np.random.RandomState(SEED + 11)
+    mv = _random_stencil_operator(g, rng)
+    a = linsolve.probe_stencil(mv, g)
+    b = linsolve.probe_stencil_vmapped(mv, g)
+    for name in a._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(b, name)), np.asarray(getattr(a, name)), rtol=0, atol=1e-15
+        )
+
+
 def test_bicgstab_zero_rhs():
     g = make_uniform_grid(4, 4)
     rng = np.random.RandomState(SEED + 2)
