@@ -33,11 +33,7 @@ from na_dd_tpu.harness.studies import (
     run_spatial_study,
     run_temporal_study,
 )
-from studies.reference_values import (
-    REFERENCE_ERRORS,
-    REFERENCE_FINAL_RATE,
-    REFERENCE_FINEST_WALLCLOCK,
-)
+from studies.reference_values import REFERENCE_ERRORS
 
 RESULTS_DIR = os.path.join(os.path.dirname(__file__), "results")
 REPRO_MD = os.path.join(os.path.dirname(__file__), "..", "REPRODUCTION.md")
@@ -118,72 +114,12 @@ def main():
             flush=True,
         )
 
-    # ---- REPRODUCTION.md ----
-    lines = [
-        "# REPRODUCTION — the six reference convergence studies on TPU",
-        "",
-        f"Device: {device}; float64; PC-RegHCsTriple, eta=50 (eta studies sweep",
-        "10..1000); protocols and per-notebook model constants identical to the",
-        "reference notebooks (see studies/reference_values.py for the extracted",
-        "ground truth and protocol notes).  'max rel dev' is the worst per-level",
-        "relative deviation of our error vs the notebook's saved output across",
-        "the WHOLE ladder, not just the finest level.  'steady' is the warm-cache",
-        "compile-free wall-clock of the finest level (the honest apples-to-apples",
-        "number vs the reference's serial CPU time); 'first' includes one-time",
-        "XLA compilation / cache loading.",
-        "",
-        "| study | kind | levels | final error (ours) | final error (ref) | "
-        "max rel dev | final rate (ours/ref) | finest steady vs ref | speedup |",
-        "|---|---|---|---|---|---|---|---|---|",
-    ]
-    for study, kind, res in rows:
-        kindkey = "eta" if kind.startswith("eta") else kind
-        if res is None:
-            lines.append(f"| {study} | {kindkey} | FAILED | | | | | | |")
-            continue
-        ref_errors = REFERENCE_ERRORS.get((study, kindkey), [])
-        ref_rate = REFERENCE_FINAL_RATE.get((study, kindkey))
-        ref_t = REFERENCE_FINEST_WALLCLOCK.get((study, kindkey))
-        final_err = res["errors"][-1]
-        final_rate = res["rates"][-1] if res.get("rates") else float("nan")
-        steady = (res.get("steady_s") or res["wallclock_s"])[-1]
-        dev = res.get("max_rel_dev_vs_reference", float("nan"))
-        lines.append(
-            f"| {study} | {kindkey} | {len(res['errors'])} | {final_err:.3e} | "
-            f"{(f'{ref_errors[-1]:.3e}' if ref_errors else '—')} | "
-            f"{dev:.1e} | "
-            f"{final_rate:.3f} / {(f'{ref_rate:.3f}' if ref_rate else '—')} | "
-            f"{steady:.2f}s vs {(f'{ref_t:.0f}s' if ref_t else '—')} | "
-            f"{(f'{ref_t / steady:.0f}x' if ref_t and steady > 0 else '—')} |"
-        )
+    # ---- REPRODUCTION.md (rendered from the archived JSONs so interrupted
+    # runs can regenerate it too: python studies/write_reproduction.py) ----
+    from studies.write_reproduction import write_report
 
-    lines += [
-        "",
-        "## Per-level detail",
-        "",
-        "Full per-level errors, reference values, first-run and steady",
-        "wall-clocks are archived in `studies/results/*.json`",
-        "(`errors` / `reference_errors` / `wallclock_s` / `steady_s`).",
-        "",
-        "## Notes",
-        "",
-        "- Eta sweeps run all seven regularization factors in ONE vmapped XLA",
-        "  program (the reference loops them serially); the sweep's wall-clock",
-        "  column is the whole batch.",
-        "- The peaks temporal ladder reproduces the reference protocol exactly,",
-        "  including its quirk: the notebook recomputes N = ceil(1/(2 dt)) per",
-        "  level (FIXED_GRID_SIZE=200 is dead code in cell 11) and its first",
-        "  two levels use an N=1 all-boundary grid whose error is identically",
-        "  0.0 (every node is pinned to the boundary value and the manufactured",
-        "  solution vanishes there).",
-        "- Temporal ladders whose rates are nan/negative reproduce the",
-        "  reference's own behavior (errors sitting on the spatial floor).",
-        f"- Total reproduction wall-clock: {time.time() - t_start:.0f}s",
-        "  (one TPU v5e chip, f64, persistent compile cache).",
-    ]
-    with open(REPRO_MD, "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print(f"\nwrote {REPRO_MD}", flush=True)
+    path = write_report(device=device, total_s=time.time() - t_start)
+    print(f"\nwrote {path}", flush=True)
 
 
 if __name__ == "__main__":
