@@ -387,12 +387,16 @@ def run_eta_study_batched(
         _s_final, (h_sq, grad_sq) = jax.lax.scan(body, s0, ks)
         return h0, g0, h_sq, grad_sq
 
+    run = jax.jit(jax.vmap(simulate_one))
+    etas_arr = jnp.asarray(etas, dtype=jnp.result_type(float))
     t0 = time.perf_counter()
-    h0, g0, h_sq, grad_sq = jax.jit(jax.vmap(simulate_one))(
-        jnp.asarray(etas, dtype=jnp.result_type(float))
-    )
+    h0, g0, h_sq, grad_sq = run(etas_arr)
     jax.block_until_ready(h_sq)
     elapsed = time.perf_counter() - t0
+    # second call hits the in-process jit cache: compile-free steady time
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(etas_arr))
+    steady = time.perf_counter() - t0
 
     import numpy as np
 
@@ -424,6 +428,7 @@ def run_eta_study_batched(
         etas=list(etas),
         errors=errors,
         wallclock_s=[elapsed],
+        steady_s=[steady],
     )
 
 
