@@ -47,6 +47,7 @@ from na_dd_tpu.core.state import State, heaviside_regularized
 from na_dd_tpu.models.coefficients import Model01
 from na_dd_tpu.ops.grid import Grid
 from na_dd_tpu.ops.shifts import Ops
+from na_dd_tpu.ops.linsolve import Stencil5, advection_planes, diffusion_planes, stencil_add_diag
 from na_dd_tpu.ops.stencils import Dx_reg, Dx_star, Dy_reg, Dy_star, Mx, My
 
 
@@ -138,6 +139,60 @@ class Field01Base:
     def Fcs(self, g: Grid, ops: Ops, s: State, t):
         out = self.forcing.fcs(g, ops, t) - self.cscd_reaction_term(g, s)
         return out * g.interior_mask
+
+    # --- analytic self-coupling Jacobian stencils -----------------------
+    # FT, Fcl, Fcd are each LINEAR in their own variable, so their
+    # self-Jacobians are state-dependent 5-point stencils with closed-form
+    # coefficient planes — the analytic counterpart of the reference's
+    # hand-derived tables delT_ab_FT_ij / delcl_ab_Fcl_ij / delcd_ab_Fcd_ij
+    # (src/prob1base.py:2674-2839), assembled here as five fused elementwise
+    # planes instead of CSR diagonals.  They are interchangeable with probing
+    # the jax.linearize graph (tests/test_analytic_stencils.py asserts
+    # agreement to rounding) but cost one elementwise pass instead of five
+    # linearized-operator applications.
+    def stencil_dFT_dT(self, g: Grid, ops: Ops, s: State) -> Stencil5:
+        """∂FT/∂T = D*(DT D_- ·) − K3·cp (reference src/prob1base.py:2674-2684)."""
+        m = self.model
+        DT = jnp.full_like(s.T, m.DT)
+        L = diffusion_planes(g, ops, DT, DT)
+        return stencil_add_diag(L, -m.K3 * s.cp)
+
+    def stencil_dFcl_dcl(self, g: Grid, ops: Ops, s: State) -> Stencil5:
+        """∂Fcl/∂cl = D*(Dl(M cp) D_- ·) − D*(M(V(T)·)) − K4·cp
+        (reference src/prob1base.py:2714-2762)."""
+        m = self.model
+        diff = diffusion_planes(g, ops, m.Dl(Mx(ops, g, s.cp)), m.Dl(My(ops, g, s.cp)))
+        adv = advection_planes(g, ops, m.V1(s.T), m.V2(s.T))
+        return Stencil5(
+            c0=diff.c0 + adv.c0 - m.K4 * s.cp,
+            cxm=diff.cxm + adv.cxm,
+            cxp=diff.cxp + adv.cxp,
+            cym=diff.cym + adv.cym,
+            cyp=diff.cyp + adv.cyp,
+        )
+
+    def stencil_dFcd_dcd(self, g: Grid, ops: Ops, s: State) -> Stencil5:
+        """∂Fcd/∂cd = D*(Dd(M cp, M T) D_- ·) + a_cd·[reaction/(a_cd cd + b_cd)]
+        (reference src/prob1base.py:2775-2800)."""
+        m = self.model
+        L = diffusion_planes(
+            g,
+            ops,
+            m.Dd(Mx(ops, g, s.cp), Mx(ops, g, s.T)),
+            m.Dd(My(ops, g, s.cp), My(ops, g, s.T)),
+        )
+        a_T, b_T = self.cscd_reaction_T()
+        a_cl, b_cl = self.cscd_reaction_cl()
+        a_cd, _b_cd = self.cscd_reaction_cd()
+        dreac = (
+            self.cscd_reaction_cp(s.cp)
+            * (a_T * s.T + b_T)
+            * (a_cl * s.cl + b_cl)
+            * a_cd
+            * self.cscd_reaction_cs(s.cs)
+            * g.interior_mask
+        )
+        return stencil_add_diag(L, dreac)
 
     def all_fields(self, g: Grid, ops: Ops, s: State, t) -> State:
         """All five RHS components as a State pytree (one fused evaluation)."""

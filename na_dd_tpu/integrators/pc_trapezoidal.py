@@ -101,6 +101,7 @@ class PCTrapezoidalBase:
         krylov_unroll: int | None | str = "auto",
         krylov_scanned: bool = False,
         assemble_stencil: bool = True,
+        stencil_source: str = "analytic",
         track_residuals: bool = True,
         stencil_backend: str | None = None,
     ):
@@ -118,11 +119,21 @@ class PCTrapezoidalBase:
         independent of the budget — see linsolve.bicgstab_scanned).
 
         assemble_stencil: extract the 5 stencil coefficient planes of each
-        Newton operator once per solve (5 probing products of the linearized
-        residual) and run the Krylov iterations on the assembled stencil —
-        the TPU-shaped analogue of the reference's 5-diagonal CSR assembly,
-        exact for these discretizations and much cheaper per iteration than
-        re-applying the linearized graph.
+        Newton operator once per solve and run the Krylov iterations on the
+        assembled stencil — the TPU-shaped analogue of the reference's
+        5-diagonal CSR assembly, exact for these discretizations and much
+        cheaper per iteration than re-applying the linearized graph.
+
+        stencil_source: how the planes are obtained when assemble_stencil is
+        on.  "analytic" (default) evaluates the fields' closed-form
+        self-Jacobian planes (``Field01Base.stencil_dFT_dT`` etc. — FT, Fcl,
+        Fcd are linear in their own variable) in one fused elementwise pass;
+        the rhs cross-coupling terms come from ``jax.jvp`` of the residuals.
+        "probe" extracts the same planes with 5 color-probing products of the
+        ``jax.linearize`` graph — fully generic (works for any distance-1
+        field), used to cross-validate the analytic path
+        (tests/test_analytic_stencils.py); ~3x more linearized-graph
+        applications per sweep.
 
         stencil_backend: "jnp" (default) or "pallas" — the f32 production
         path can route the assembled-stencil applies through the fused
@@ -144,6 +155,9 @@ class PCTrapezoidalBase:
         self.krylov_unroll = None if krylov_unroll is None else int(krylov_unroll)
         self.krylov_scanned = bool(krylov_scanned)
         self.assemble_stencil = bool(assemble_stencil)
+        if stencil_source not in ("analytic", "probe"):
+            raise ValueError(f"stencil_source must be 'analytic' or 'probe'; got {stencil_source!r}")
+        self.stencil_source = stencil_source
         self.track_residuals = bool(track_residuals)
         if stencil_backend is None:
             import os
@@ -213,24 +227,7 @@ class PCTrapezoidalBase:
         mask = g.interior_mask
         dot = lambda u, v: ops.asum(u * v)
 
-        def inner_solve(matvec, rhs):
-            if self.assemble_stencil:
-                probe = (
-                    linsolve.probe_stencil_vmapped
-                    if self.probe_vmapped
-                    else linsolve.probe_stencil
-                )
-                st = probe(matvec, g)
-                if self.stencil_backend == "pallas" and ops is LOCAL_OPS:
-                    from na_dd_tpu.ops.pallas_kernels import stencil5_apply_pallas
-
-                    matvec = lambda w: stencil5_apply_pallas(st, w)  # noqa: E731
-                else:
-                    matvec = lambda w: st.apply(ops, w)  # noqa: E731
-                diag = st.c0
-            else:
-                diag = linsolve.probe_diag(matvec, red * mask, black * mask)
-            inv_diag = jnp.where(mask > 0, 1.0 / jnp.where(diag == 0, 1.0, diag), 0.0)
+        def krylov(matvec, rhs, inv_diag):
             if self.krylov_unroll is not None:
                 solver = (
                     linsolve.bicgstab_scanned
@@ -258,41 +255,100 @@ class PCTrapezoidalBase:
                 )
             return delta * mask, info
 
+        def solve_assembled(st, rhs):
+            """Krylov on assembled Newton planes (diag = st.c0 is exact)."""
+            if self.stencil_backend == "pallas" and ops is LOCAL_OPS:
+                from na_dd_tpu.ops.pallas_kernels import stencil5_apply_pallas
+
+                matvec = lambda w: stencil5_apply_pallas(st, w)  # noqa: E731
+            else:
+                matvec = lambda w: st.apply(ops, w)  # noqa: E731
+            inv_diag = jnp.where(
+                mask > 0, 1.0 / jnp.where(st.c0 == 0, 1.0, st.c0), 0.0
+            )
+            return krylov(matvec, rhs, inv_diag)
+
+        def inner_solve(matvec, rhs):
+            """Probe/matrix-free path: planes (or just the diagonal) are
+            extracted from the linearized-graph matvec."""
+            if self.assemble_stencil:
+                probe = (
+                    linsolve.probe_stencil_vmapped
+                    if self.probe_vmapped
+                    else linsolve.probe_stencil
+                )
+                return solve_assembled(probe(matvec, g), rhs)
+            diag = linsolve.probe_diag(matvec, red * mask, black * mask)
+            inv_diag = jnp.where(mask > 0, 1.0 / jnp.where(diag == 0, 1.0, diag), 0.0)
+            return krylov(matvec, rhs, inv_diag)
+
+        analytic = self.assemble_stencil and self.stencil_source == "analytic"
+
         # --- T (reference newton_step_T, src/prob1base.py:2998-3045) ---
-        fT0, linT = jax.linearize(lambda T: field.FT(g, ops, s._replace(T=T), t1), s.T)
-        mv_T = lambda w: (2.0 * (w * mask) - dt * linT(w * mask)) * mask
-        rhs_T = YT0 - (2.0 * s.T - dt * fT0)
-        dT, info_T = inner_solve(mv_T, rhs_T)
+        if analytic:
+            # FT is linear in T: closed-form planes + direct primal eval.
+            fT0 = field.FT(g, ops, s, t1)
+            J_T = linsolve.newton_planes(g, ops, field.stencil_dFT_dT(g, ops, s), dt)
+            rhs_T = YT0 - (2.0 * s.T - dt * fT0)
+            dT, info_T = solve_assembled(J_T, rhs_T)
+        else:
+            fT0, linT = jax.linearize(
+                lambda T: field.FT(g, ops, s._replace(T=T), t1), s.T
+            )
+            mv_T = lambda w: (2.0 * (w * mask) - dt * linT(w * mask)) * mask
+            rhs_T = YT0 - (2.0 * s.T - dt * fT0)
+            dT, info_T = inner_solve(mv_T, rhs_T)
         T1 = s.T * mask + dT  # boundary re-zeroed, as in the reference
 
         # --- cl (reference newton_step_cl, src/prob1base.py:3047-3080) ---
-        fcl0, lincl = jax.linearize(
-            lambda T, cl: field.Fcl(g, ops, s._replace(T=T, cl=cl), t1), s.T, s.cl
-        )
-        zT = jnp.zeros_like(s.T)
         wT = (T1 - s.T) * mask
-        mv_cl = lambda w: (2.0 * (w * mask) - dt * lincl(zT, w * mask)) * mask
-        rhs_cl = Ycl0 - 2.0 * s.cl + dt * fcl0 + dt * lincl(wT, jnp.zeros_like(s.cl))
-        dcl, info_cl = inner_solve(mv_cl, rhs_cl)
+        if analytic:
+            # primal + the T-coupling JVP in one jvp pass; planes analytic
+            fcl0, jvp_cl_T = jax.jvp(
+                lambda T: field.Fcl(g, ops, s._replace(T=T), t1), (s.T,), (wT,)
+            )
+            J_cl = linsolve.newton_planes(g, ops, field.stencil_dFcl_dcl(g, ops, s), dt)
+            rhs_cl = Ycl0 - 2.0 * s.cl + dt * fcl0 + dt * jvp_cl_T
+            dcl, info_cl = solve_assembled(J_cl, rhs_cl)
+        else:
+            fcl0, lincl = jax.linearize(
+                lambda T, cl: field.Fcl(g, ops, s._replace(T=T, cl=cl), t1), s.T, s.cl
+            )
+            zT = jnp.zeros_like(s.T)
+            mv_cl = lambda w: (2.0 * (w * mask) - dt * lincl(zT, w * mask)) * mask
+            rhs_cl = Ycl0 - 2.0 * s.cl + dt * fcl0 + dt * lincl(wT, jnp.zeros_like(s.cl))
+            dcl, info_cl = inner_solve(mv_cl, rhs_cl)
         cl1 = s.cl + dcl  # boundary kept, as in the reference
 
         # --- cd (reference newton_step_cd, src/prob1base.py:3082-3115) ---
-        fcd0, lincd = jax.linearize(
-            lambda T, cl, cd: field.Fcd(g, ops, s._replace(T=T, cl=cl, cd=cd), t1),
-            s.T,
-            s.cl,
-            s.cd,
-        )
-        zcl = jnp.zeros_like(s.cl)
         wcl = (cl1 - s.cl) * mask
-        mv_cd = lambda w: (2.0 * (w * mask) - dt * lincd(zT, zcl, w * mask)) * mask
-        rhs_cd = (
-            Ycd0
-            - 2.0 * s.cd
-            + dt * fcd0
-            + dt * lincd(wT, wcl, jnp.zeros_like(s.cd))
-        )
-        dcd, info_cd = inner_solve(mv_cd, rhs_cd)
+        if analytic:
+            fcd0, jvp_cd_Tcl = jax.jvp(
+                lambda T, cl: field.Fcd(g, ops, s._replace(T=T, cl=cl), t1),
+                (s.T, s.cl),
+                (wT, wcl),
+            )
+            J_cd = linsolve.newton_planes(g, ops, field.stencil_dFcd_dcd(g, ops, s), dt)
+            rhs_cd = Ycd0 - 2.0 * s.cd + dt * fcd0 + dt * jvp_cd_Tcl
+            dcd, info_cd = solve_assembled(J_cd, rhs_cd)
+        else:
+            lincd_in = jax.linearize(
+                lambda T, cl, cd: field.Fcd(g, ops, s._replace(T=T, cl=cl, cd=cd), t1),
+                s.T,
+                s.cl,
+                s.cd,
+            )
+            fcd0, lincd = lincd_in
+            zT = jnp.zeros_like(s.T)
+            zcl = jnp.zeros_like(s.cl)
+            mv_cd = lambda w: (2.0 * (w * mask) - dt * lincd(zT, zcl, w * mask)) * mask
+            rhs_cd = (
+                Ycd0
+                - 2.0 * s.cd
+                + dt * fcd0
+                + dt * lincd(wT, wcl, jnp.zeros_like(s.cd))
+            )
+            dcd, info_cd = inner_solve(mv_cd, rhs_cd)
         cd1 = s.cd + dcd
 
         if self.track_residuals:

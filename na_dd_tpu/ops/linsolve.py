@@ -159,6 +159,69 @@ class Stencil5(NamedTuple):
         )
 
 
+def diffusion_planes(g: Grid, ops: Ops, ax, ay) -> Stencil5:
+    """Exact stencil planes of w ↦ D*_x(ax ⊙ D_{-x} w) + D*_y(ay ⊙ D_{-y} w).
+
+    Closed-form counterpart of probing the linearized diffusion operator —
+    the analytic analogue of the reference's ``del*_ab_F*_ij`` stencil tables
+    (reference src/prob1base.py:2674-2839), valid on non-uniform grids (the
+    0-sentinel reciprocal metrics make boundary rows/cols vanish exactly as
+    the operators do):
+
+        cxp[i,j] = ax[i+1,j] / (h_{i+1/2} h_{i+1})
+        cxm[i,j] = ax[i,j]   / (h_{i+1/2} h_i)
+        c0       = -(cxp + cxm) - (cyp + cym)
+    """
+    cxp = g.inv_hh_phalf * ops.shift_xp(ax * g.inv_hh)
+    cxm = g.inv_hh_phalf * ax * g.inv_hh
+    cyp = g.inv_kk_phalf * ops.shift_yp(ay * g.inv_kk)
+    cym = g.inv_kk_phalf * ay * g.inv_kk
+    return Stencil5(c0=-(cxp + cxm + cyp + cym), cxm=cxm, cxp=cxp, cym=cym, cyp=cyp)
+
+
+def advection_planes(g: Grid, ops: Ops, bx, by) -> Stencil5:
+    """Exact stencil planes of w ↦ -D*_x(M_x(bx ⊙ w)) - D*_y(M_y(by ⊙ w))
+    (the velocity part of Fcl linearized in cl; reference
+    src/prob1base.py:2740-2762).
+
+        cxp[i,j] = -bx[i+1,j] / (2 h_{i+1/2})        (i+1 interior row)
+        cxm[i,j] = +bx[i-1,j] / (2 h_{i+1/2})
+        c0[i,j]  = -(bx[i,j]/(2 h_{i+1/2}))·(1_{row i+1 ≥ 1} - 1_{row i ≥ 1}) - …
+
+    The mask factors only matter on boundary rows/cols (killed downstream by
+    the interior mask) but are kept so the planes agree with probing
+    everywhere, bit-for-bit in structure.
+    """
+    half_x = 0.5 * g.inv_hh_phalf
+    half_y = 0.5 * g.inv_kk_phalf
+    cxp = -half_x * ops.shift_xp(bx * g.mask_x1)
+    cxm = half_x * ops.shift_xm(bx) * g.mask_x1
+    c0x = -half_x * bx * (ops.shift_xp(g.mask_x1) - g.mask_x1)
+    cyp = -half_y * ops.shift_yp(by * g.mask_y1)
+    cym = half_y * ops.shift_ym(by) * g.mask_y1
+    c0y = -half_y * by * (ops.shift_yp(g.mask_y1) - g.mask_y1)
+    return Stencil5(c0=c0x + c0y, cxm=cxm, cxp=cxp, cym=cym, cyp=cyp)
+
+
+def newton_planes(g: Grid, ops: Ops, L: Stencil5, dt) -> Stencil5:
+    """Planes of the interior Newton operator w ↦ m·(2(w·m) − dt·m·L(w·m))
+    with m = interior_mask — exactly what :func:`probe_stencil` extracts from
+    the integrator's masked matvec."""
+    m = g.interior_mask
+    return Stencil5(
+        c0=m * (2.0 - dt * L.c0),
+        cxm=-dt * m * L.cxm * ops.shift_xm(m),
+        cxp=-dt * m * L.cxp * ops.shift_xp(m),
+        cym=-dt * m * L.cym * ops.shift_ym(m),
+        cyp=-dt * m * L.cyp * ops.shift_yp(m),
+    )
+
+
+def stencil_add_diag(st: Stencil5, d) -> Stencil5:
+    """st + diag(d)."""
+    return st._replace(c0=st.c0 + d)
+
+
 # neighbor color offsets for the (i + 2j) mod 5 coloring
 _OFFSET_DELTA = {"c0": 0, "cxm": -1, "cxp": 1, "cym": -2, "cyp": 2}
 
