@@ -67,6 +67,9 @@ def main():
     Tf = 0.01
     dt = (1.0 / N) ** 1.5
 
+    from na_dd_tpu.harness.studies import choose_krylov_unroll
+
+    unroll = choose_krylov_unroll(N, dt, STUDY_MC)
     model = Model02(STUDY_MC)
     grid = make_uniform_grid(N, N)
     trial = MMSTrial(
@@ -79,7 +82,7 @@ def main():
         forcing_terms_params=dict(regularization_factor=eta),
         field_params=dict(regularization_factor=eta),
         integrator_params=dict(
-            regularization_factor=eta, track_residuals=False, krylov_unroll=16
+            regularization_factor=eta, track_residuals=False, krylov_unroll=unroll
         ),
     )
 

@@ -136,6 +136,11 @@ def choose_krylov_unroll(
     h = 1.0 / N
     d_max = max(mc.DT, mc.Dl_max, mc.Dd_max)
     s = 4.0 * dt * d_max / (h * h)
+    if s <= 0.25:
+        # measured worst-case demand at the tier boundary is 4 total
+        # BiCGStab iterations per step across the 3 solves (>= 4x margin);
+        # every spatial ladder and eta sweep in BASELINE.md lands here
+        return 8
     if s <= 1.0:
         return 16
     if s <= 8.0:
