@@ -11,6 +11,12 @@ from na_dd_tpu.harness.rates import (
     observed_rates_report,
     report_on_rates,
 )
+from na_dd_tpu.harness.simulate import (
+    make_integrator,
+    released_drug_fraction,
+    simulate,
+    simulate_adaptive,
+)
 
 __all__ = [
     "ErrorTimeSeries",
@@ -22,4 +28,8 @@ __all__ = [
     "calculate_observed_rates",
     "observed_rates_report",
     "report_on_rates",
+    "make_integrator",
+    "released_drug_fraction",
+    "simulate",
+    "simulate_adaptive",
 ]

@@ -114,6 +114,110 @@ def simulate(
     return s_final, times, (snaps if record else None)
 
 
+def simulate_adaptive(
+    integrator,
+    grid: Grid,
+    state0: State,
+    *,
+    t0: float = 0.0,
+    Tf: float,
+    dt0: float,
+    tol: float = 1e-6,
+    safety: float = 0.9,
+    growth_min: float = 0.2,
+    growth_max: float = 5.0,
+    dt_min: float = 1e-12,
+    max_steps: int = 100_000,
+    ops: Ops = LOCAL_OPS,
+):
+    """Adaptive-dt integration to ``Tf`` (beyond the reference, which has no
+    step control).
+
+    Error estimate: the forward-Euler embedded solution ``u0 + dt·F(u0, t)``
+    shares its field evaluations with the PC step's own predictor data (XLA
+    CSE), so the estimate is nearly free.  The PC corrector is 2nd order and
+    FE 1st, so ``est = Σ_v ‖u_PC − u_FE‖_H / (1 + ‖u_PC‖_H)`` measures the
+    FE local error ~C·dt²; the controller targets ``est ≈ tol`` with the
+    standard square-root law ``dt ← dt·clip(safety·(tol/est)^½)`` and redoes
+    a step whose estimate exceeds ``tol`` (classic accept/reject).
+
+    Whole loop is ONE jitted ``lax.while_loop`` program; t and dt ride the
+    carry as (1,1) arrays, not 0-d scalars, sidestepping the axon backend's
+    while_loop scalar-precision hazard (see harness/studies.py docstring).
+
+    Returns ``(final_state, info)`` with info = dict(steps, rejected, t, dt).
+    """
+    field = integrator.semi_discrete_field
+    g = grid
+
+    def norm(u):
+        from na_dd_tpu.ops.inner_products import norm_H
+
+        return norm_H(ops, g, u)
+
+    @jax.jit
+    def run(s0):
+        def cond(carry):
+            s, t, dt, k, rej, done = carry
+            return jnp.logical_and(jnp.logical_not(done), k < max_steps)
+
+        def body(carry):
+            s, t, dt, k, rej, _done = carry
+            t_sc = t[0, 0]
+            remaining = Tf - t_sc
+            dt_try = jnp.minimum(dt[0, 0], remaining)
+
+            s1, _diag = integrator.step_fn(g, ops, s, t_sc, dt_try)
+            fe = State(
+                *(u + dt_try * f * g.interior_mask
+                  for u, f in zip(s, field.all_fields(g, ops, s, t_sc)))
+            )
+            est = sum(
+                norm(u_pc - u_fe) / (1.0 + norm(u_pc))
+                for u_pc, u_fe in zip(s1, fe)
+            )
+            accept = est <= tol
+            factor = jnp.clip(
+                safety * jnp.sqrt(tol / jnp.maximum(est, 1e-300)),
+                growth_min,
+                growth_max,
+            )
+            dt_next = jnp.maximum(dt_try * factor, dt_min)
+            # floor hit => forced accept (can't shrink further)
+            accept = jnp.logical_or(accept, dt_try <= dt_min)
+
+            s_new = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(accept, a, b), s1, s
+            )
+            t_new = jnp.where(accept, t_sc + dt_try, t_sc)
+            done = t_new >= Tf - 1e-15
+            return (
+                s_new,
+                jnp.full((1, 1), 0.0, dtype=t.dtype) + t_new,
+                jnp.full((1, 1), 0.0, dtype=dt.dtype) + dt_next,
+                k + jnp.where(accept, 1, 0),
+                rej + jnp.where(accept, 0, 1),
+                done,
+            )
+
+        dtype = s0.T.dtype
+        init = (
+            s0,
+            jnp.full((1, 1), t0, dtype=dtype),
+            jnp.full((1, 1), dt0, dtype=dtype),
+            jnp.asarray(0),
+            jnp.asarray(0),
+            jnp.asarray(Tf <= t0),
+        )
+        s, t, dt, k, rej, _done = jax.lax.while_loop(cond, body, init)
+        return s, t[0, 0], dt[0, 0], k, rej
+
+    s, t, dt, k, rej = run(state0)
+    return s, dict(
+        steps=int(k), rejected=int(rej), t=float(t), dt=float(dt)
+    )
+
+
 def released_drug_fraction(ops: Ops, g: Grid, state: State, initial: State):
     """Cumulative released-drug metric: 1 - (∫cs + ∫cd)/(∫cs0 + ∫cd0) with the
     discrete H-measure — a physically meaningful observable for drug-delivery
