@@ -113,8 +113,18 @@ REFERENCE_FINEST_WALLCLOCK = {
     ("expsin", "temporal"): 2.11,
     ("nfsp_cpcsH2_TclcdH2", "temporal"): 32.6,
     ("nfsp_cpcsH2_TclcdH3", "temporal"): 25.3,
+    ("nfsp_cpcsH1_TclcdH2", "temporal"): 58.96,
     ("peaks_fast1e1", "temporal"): 2108.5,
-    ("pol", "eta"): 0.66 * 7,
+    # eta sweeps: the reference runs the 7 factors serially; the comparable
+    # number is the SUM of its per-factor "Completed in ... seconds" lines
+    # (each notebook's eta cell; cell 12 in nfsp_H2H2, cell 13 elsewhere)
+    # since our sweep integrates all 7 in one vmapped program.
+    ("pol", "eta"): 4.64,
+    ("expsin", "eta"): 10.60,
+    ("nfsp_cpcsH2_TclcdH3", "eta"): 4.98,
+    ("nfsp_cpcsH2_TclcdH2", "eta"): 6.96,
+    ("nfsp_cpcsH1_TclcdH2", "eta"): 8.92,
+    ("peaks_fast1e1", "eta"): 7.75,
 }
 
 # Final observed 3-point rates as reported by the notebooks.
