@@ -139,25 +139,51 @@ def run_simulation_collect_data(
 
             h0, g0 = collect(s0, t0)
             ks = jnp.arange(num_steps, dtype=jnp.result_type(float))
-            s_final, (h_sq, grad_sq, small) = jax.lax.scan(body, s0, ks)
-            return h0, g0, h_sq, grad_sq, small, s_final
+            _s_final, (h_sq, grad_sq, small) = jax.lax.scan(body, s0, ks)
+            # Pack all outputs into THREE device buffers: through a tunneled
+            # backend every fetched buffer costs a host<->device round-trip,
+            # and the unpacked form (10 series + 10 scalars + diagnostics)
+            # dominated steady wall-clock (~0.5 s floor, N-independent).
+            ftype = h0[variable_names[0]].dtype
+            h_mat = jnp.concatenate(
+                [
+                    jnp.stack([h0[v] for v in variable_names])[:, None],
+                    jnp.stack([h_sq[v] for v in variable_names]),
+                ],
+                axis=1,
+            )
+            g_mat = jnp.concatenate(
+                [
+                    jnp.stack([g0[v] for v in variable_names])[:, None],
+                    jnp.stack([grad_sq[v] for v in variable_names]),
+                ],
+                axis=1,
+            )
+            small_mat = jnp.stack(
+                [
+                    small["hcs_ok"].astype(ftype),
+                    small["krylov_converged"].astype(ftype),
+                    small["krylov_resnorm_sq"].astype(ftype),
+                ]
+            )
+            return h_mat, g_mat, small_mat
 
         cache[key] = simulate
 
-    h0, g0, h_sq, grad_sq, small, _s_final = simulate(initial_state)
+    h_mat, g_mat, small_mat = jax.device_get(simulate(initial_state))
 
-    if not bool(np.all(np.asarray(small["hcs_ok"]))):
+    hcs_ok, converged, resnorm_sq = small_mat
+    if not bool(np.all(hcs_ok > 0.5)):
         raise HCsCorrectorPositivityError(
             "Denominator 2 - dt Kd (Sd - Cd1) (1 + Cl1) below positiveness threshold."
         )
-    n_unconverged = int(np.sum(~np.asarray(small["krylov_converged"])))
+    n_unconverged = int(np.sum(converged < 0.5))
     if n_unconverged:
         import warnings
 
         warnings.warn(
             f"{n_unconverged}/{num_steps} steps had a Krylov solve that missed "
-            f"its tolerance (worst resnorm_sq "
-            f"{float(np.max(np.asarray(small['krylov_resnorm_sq']))):.3e}); "
+            f"its tolerance (worst resnorm_sq {float(np.max(resnorm_sq)):.3e}); "
             "increase krylov_unroll/krylov_maxiter.",
             stacklevel=2,
         )
@@ -166,12 +192,10 @@ def run_simulation_collect_data(
     series = ErrorTimeSeries(
         t=ts,
         h_norm_sq_errors={
-            v: np.concatenate([[float(h0[v])], np.asarray(h_sq[v])])
-            for v in variable_names
+            v: h_mat[i] for i, v in enumerate(variable_names)
         },
         grad_h_norm_p_sq_errors={
-            v: np.concatenate([[float(g0[v])], np.asarray(grad_sq[v])])
-            for v in variable_names
+            v: g_mat[i] for i, v in enumerate(variable_names)
         },
     )
     return series, dt_adj
