@@ -87,6 +87,31 @@ def test_corrector_positivity_error():
         integ.step(at_t0, t0=0.0, dt=dt)
 
 
+def test_positivity_error_through_scanned_harness():
+    """The scan-path harness (run_simulation_collect_data) must surface the
+    positivity failure too — the flag rides the packed diagnostics buffer
+    out of the jitted program."""
+    from na_dd_tpu.harness.trial import run_simulation_collect_data
+
+    grid, model, field, integ = _setup(Kd=1.0, Sd=10.0)
+    at_t0 = _const_state(grid, cs=0.4)
+
+    from na_dd_tpu.mms.cases import MMSCasePol
+
+    case = MMSCasePol(grid, model=model)
+    with pytest.raises(HCsCorrectorPositivityError):
+        run_simulation_collect_data(
+            grid=grid,
+            integrator=integ,
+            exact_sol_pack=case,
+            initial_state=at_t0,
+            Tf=1.0,
+            dt=0.5,  # R1 = 20 -> 2 - dt R1 < 0
+            variable_names=["cp", "T", "cl", "cd", "cs"],
+            integral_vars=["T", "cl", "cd"],
+        )
+
+
 def test_predictor_no_clipping():
     """The Heun cs predictor must not clip negative values (only the boundary
     mask is applied; reference tests/test_time_integrator_hcs_triple.py:182-246)."""
