@@ -377,10 +377,13 @@ def bicgstab_scanned(
     that need budgets of 96+ (a 60-iteration unrolled solve takes >2 min of
     XLA compile on CPU; the scanned form compiles in seconds).  Takes the
     same effective iteration count as the unrolled solver and agrees to ~1
-    ulp (XLA fuses the two program shapes slightly differently).  On the TPU
-    f64-emulation backend validate before substituting: the while_loop
-    solver's scalar-carry precision hazard may or may not extend to scan
-    carries — measure, don't assume.
+    ulp (XLA fuses the two program shapes slightly differently).
+
+    TPU f64-emulation safety: the Krylov scalars (rho, alpha, omega) are
+    carried as (1, 1) arrays, NOT 0-d scalars — 0-d f64 loop carries are
+    computed at ~f32 precision on the axon backend (measured; see
+    studies/axon_while_probe.py) while array carries stay exact.  All other
+    carried values are full-grid arrays, booleans, or integers.
     """
     if minv is None:
         minv = lambda r: r
@@ -396,7 +399,9 @@ def bicgstab_scanned(
     bnorm_sq = dot(b, b)
     tol_sq = jnp.maximum(tol * tol * bnorm_sq, atol * atol)
     z = jnp.zeros_like(b)
-    one = jnp.asarray(1.0, dtype=b.dtype)
+    # (1,1)-shaped, not 0-d: 0-d f64 loop carries degrade to ~f32 on the
+    # TPU f64-emulation backend (see docstring).
+    one = jnp.ones((1, 1), dtype=b.dtype)
 
     def body(carry, _):
         (x, r, p, v, rho, alpha, omega, iters_used, done) = carry
@@ -423,7 +428,9 @@ def bicgstab_scanned(
         r_new = jnp.where(s_conv, s, s - omega_new * t)
         x_new = jnp.where(s_conv, x_half, x_full)
 
-        breakdown = jnp.logical_not(ok1 & ok2 & ok3 & ok4)
+        breakdown = jnp.logical_not(
+            jnp.all(ok1) & jnp.all(ok2) & jnp.all(ok3) & jnp.all(ok4)
+        )
         x = keep(x, x_new)
         r = keep(r, r_new)
         p = keep(p, p_new)
