@@ -99,7 +99,7 @@ class PCTrapezoidalBase:
         krylov_tol: float = 1e-13,
         krylov_maxiter: int = 300,
         krylov_unroll: int | None | str = "auto",
-        krylov_scanned: bool = False,
+        krylov_scanned: bool | None = None,
         assemble_stencil: bool = True,
         stencil_source: str = "analytic",
         track_residuals: bool = True,
@@ -116,7 +116,9 @@ class PCTrapezoidalBase:
 
         krylov_scanned: run the fixed-budget masked iteration under lax.scan
         instead of unrolling it (same update, ~1 ulp agreement, compile time
-        independent of the budget — see linsolve.bicgstab_scanned).
+        independent of the budget — see linsolve.bicgstab_scanned).  None
+        (default) reads the NA_DD_TPU_SCANNED env var ("1" enables), so the
+        solver shape can be flipped globally for measurement.
 
         assemble_stencil: extract the 5 stencil coefficient planes of each
         Newton operator once per solve and run the Krylov iterations on the
@@ -153,6 +155,10 @@ class PCTrapezoidalBase:
                 raise ValueError(f"krylov_unroll must be an int, None or 'auto'; got {krylov_unroll!r}")
             krylov_unroll = default_krylov_unroll()
         self.krylov_unroll = None if krylov_unroll is None else int(krylov_unroll)
+        if krylov_scanned is None:
+            import os
+
+            krylov_scanned = os.environ.get("NA_DD_TPU_SCANNED", "") == "1"
         self.krylov_scanned = bool(krylov_scanned)
         self.assemble_stencil = bool(assemble_stencil)
         if stencil_source not in ("analytic", "probe"):
