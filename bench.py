@@ -31,34 +31,18 @@ from na_dd_tpu.core import FieldRegHCsTriple, MMSForcingRegHCsTriple
 from na_dd_tpu.harness import MMSTrial
 from na_dd_tpu.integrators import PCTrapezoidalRegHCsTriple
 from na_dd_tpu.mms.cases import MMSCasePol
-from na_dd_tpu.models import Model02, ModelConsts
+from na_dd_tpu.models import Model02
 from na_dd_tpu.ops import make_uniform_grid
 
-# Study constants (reference notebook cell 3 of
-# MMSCasePol_reghcstriple_convergence_study.ipynb — the pol/peaks notebooks
-# use larger Dl_max/Dd_max than the other four studies)
-STUDY_MC = ModelConsts(
-    R0=8.3144621,
-    Ea=1.60217662e-19,
-    K1=1e-3,
-    K2=1e-3,
-    K3=1e-3,
-    K4=1e-3,
-    DT=1e-3,
-    Dl_max=8.01e-4,
-    phi_l=1e-5,
-    gamma_T=1e-9,
-    Kd=1e-2,
-    Sd=1.0,
-    Dd_max=2.46e-6,
-    phi_d=1e-5,
-    phi_T=1.60217662e-19 / 8.3144621,
-    r_sp=5e-2,
-    T_ref=300.0,
-)
+# Single source of truth for the protocol: the pol study's model constants
+# (harness/studies.py POL_PEAKS_CONSTS — reference notebook cell 3 of
+# MMSCasePol_reghcstriple_convergence_study.ipynb) and the notebook's saved
+# finest-level error/wall-clock (studies/reference_values.py).
+from na_dd_tpu.harness.studies import POL_PEAKS_CONSTS as STUDY_MC
+from studies.reference_values import REFERENCE_ERRORS, REFERENCE_FINEST_WALLCLOCK
 
-BASELINE_S = 280.4  # reference wall-clock for this exact level (author CPU)
-REFERENCE_ERROR = 4.38284e-9  # reference final combined error at N=256
+BASELINE_S = REFERENCE_FINEST_WALLCLOCK[("pol", "spatial")]  # 280.4
+REFERENCE_ERROR = REFERENCE_ERRORS[("pol", "spatial")][-1]  # 4.38284e-9 at N=256
 
 
 def main():

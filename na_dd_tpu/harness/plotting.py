@@ -57,9 +57,15 @@ def plot_errors_and_rates(
     es = np.asarray(errors, dtype=float)
     ax_err.plot(xs, es, marker=".", markersize=9, linewidth=1.3, color=_ACCENT)
     if expected_rate and len(xs) >= 2:
-        guide = es[-1] * (xs / xs[-1]) ** (-expected_rate)
+        # Exponent sign follows the ladder direction: spatial ladders refine
+        # with GROWING x (x=N, error ~ N^-rate) while temporal ladders refine
+        # with SHRINKING x (x=dt, error ~ dt^+rate), so infer the sign from
+        # whether error and x move together or oppositely across the ladder.
+        sign = -1.0 if (es[-1] - es[0]) * (xs[-1] - xs[0]) < 0 else 1.0
+        exp = sign * expected_rate
+        guide = es[-1] * (xs / xs[-1]) ** exp
         ax_err.plot(xs, guide, "--", linewidth=1.0, color=_GUIDE,
-                    label=rf"$\mathcal{{O}}({x_label}^{{-{expected_rate:g}}})$ guide")
+                    label=rf"$\mathcal{{O}}({x_label}^{{{exp:+g}}})$ guide")
         ax_err.legend(frameon=False, fontsize=9)
     if log_scale:
         ax_err.set_xscale("log", base=2)

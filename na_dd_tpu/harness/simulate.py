@@ -163,14 +163,19 @@ def simulate_adaptive(
 
         def body(carry):
             s, t, dt, k, rej, _done = carry
-            t_sc = t[0, 0]
-            remaining = Tf - t_sc
-            dt_try = jnp.minimum(dt[0, 0], remaining)
+            # ALL t/dt arithmetic stays (1,1)-shaped: the axon backend's
+            # while_loop precision hazard is specifically 0-d f64 arithmetic
+            # feeding 0-d carries (studies/axon_while_probe.py measures the
+            # 0-d add drifting while the identical (1,1)-shaped add is
+            # exact), so collapsing to [0,0] scalars here would reintroduce
+            # the drift the (1,1) carry exists to prevent.
+            remaining = Tf - t
+            dt_try = jnp.minimum(dt, remaining)
 
-            s1, _diag = integrator.step_fn(g, ops, s, t_sc, dt_try)
+            s1, _diag = integrator.step_fn(g, ops, s, t, dt_try)
             fe = State(
                 *(u + dt_try * f * g.interior_mask
-                  for u, f in zip(s, field.all_fields(g, ops, s, t_sc)))
+                  for u, f in zip(s, field.all_fields(g, ops, s, t)))
             )
             est = sum(
                 norm(u_pc - u_fe) / (1.0 + norm(u_pc))
@@ -184,17 +189,17 @@ def simulate_adaptive(
             )
             dt_next = jnp.maximum(dt_try * factor, dt_min)
             # floor hit => forced accept (can't shrink further)
-            accept = jnp.logical_or(accept, dt_try <= dt_min)
+            accept = jnp.logical_or(accept, jnp.all(dt_try <= dt_min))
 
             s_new = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(accept, a, b), s1, s
             )
-            t_new = jnp.where(accept, t_sc + dt_try, t_sc)
-            done = t_new >= Tf - 1e-15
+            t_new = jnp.where(accept, t + dt_try, t)
+            done = jnp.all(t_new >= Tf - 1e-15)
             return (
                 s_new,
-                jnp.full((1, 1), 0.0, dtype=t.dtype) + t_new,
-                jnp.full((1, 1), 0.0, dtype=dt.dtype) + dt_next,
+                t_new,
+                dt_next,
                 k + jnp.where(accept, 1, 0),
                 rej + jnp.where(accept, 0, 1),
                 done,

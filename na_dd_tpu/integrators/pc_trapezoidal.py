@@ -38,6 +38,7 @@ boundary (src/prob1base.py:2993-2996, 3217-3219).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, NamedTuple
 
 import jax
@@ -150,14 +151,18 @@ class PCTrapezoidalBase:
         self.num_newton_steps = int(num_newton_steps)
         self.krylov_tol = float(krylov_tol)
         self.krylov_maxiter = int(krylov_maxiter)
-        if isinstance(krylov_unroll, str):
-            if krylov_unroll != "auto":
-                raise ValueError(f"krylov_unroll must be an int, None or 'auto'; got {krylov_unroll!r}")
-            krylov_unroll = default_krylov_unroll()
-        self.krylov_unroll = None if krylov_unroll is None else int(krylov_unroll)
+        if isinstance(krylov_unroll, str) and krylov_unroll != "auto":
+            raise ValueError(f"krylov_unroll must be an int, None or 'auto'; got {krylov_unroll!r}")
+        # "auto" resolves LAZILY (first .krylov_unroll read, i.e. trace time):
+        # default_krylov_unroll() queries jax.default_backend(), and touching
+        # the backend during construction would pin the platform before the
+        # caller's own jax.config setup (CLAUDE.md: force the platform before
+        # any jax call) — e.g. dryrun_multichip builds integrators before
+        # device configuration is final.
+        self._krylov_unroll = (
+            krylov_unroll if krylov_unroll in (None, "auto") else int(krylov_unroll)
+        )
         if krylov_scanned is None:
-            import os
-
             krylov_scanned = os.environ.get("NA_DD_TPU_SCANNED", "") == "1"
         self.krylov_scanned = bool(krylov_scanned)
         self.assemble_stencil = bool(assemble_stencil)
@@ -166,20 +171,28 @@ class PCTrapezoidalBase:
         self.stencil_source = stencil_source
         self.track_residuals = bool(track_residuals)
         if stencil_backend is None:
-            import os
-
             stencil_backend = os.environ.get("NA_DD_TPU_STENCIL", "jnp")
         if stencil_backend not in ("jnp", "pallas"):
             raise ValueError(f"stencil_backend must be 'jnp' or 'pallas'; got {stencil_backend!r}")
         self.stencil_backend = stencil_backend
-        import os
-
         # measurement flag: probe the 5 stencil planes under one vmap instead
         # of 5 inlined applies (see linsolve.probe_stencil_vmapped)
         self.probe_vmapped = os.environ.get("NA_DD_TPU_PROBE", "") == "vmap"
         # Populated by the eager .step() wrapper for reference-API parity.
         self.last_residual: Dict[str, jax.Array] = {}
         self._jit_step = jax.jit(self.step_fn, static_argnums=1)
+
+    @property
+    def krylov_unroll(self) -> int | None:
+        """Resolved unroll budget; materializes the platform-aware "auto"
+        default on first read (trace time), not at construction."""
+        if self._krylov_unroll == "auto":
+            self._krylov_unroll = default_krylov_unroll()
+        return self._krylov_unroll
+
+    @krylov_unroll.setter
+    def krylov_unroll(self, value: int | None) -> None:
+        self._krylov_unroll = None if value is None else int(value)
 
     # ------------------------------------------------------------------
     # cp predictor / corrector (shared across variants;

@@ -31,6 +31,10 @@ import jax.numpy as jnp
 
 jax.config.update("jax_enable_x64", True)
 
+from na_dd_tpu.config import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
+
 N = 100_000
 DELTA = 1e-9 + 1e-17
 EXACT = N * DELTA

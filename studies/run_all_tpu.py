@@ -82,7 +82,6 @@ def _max_rel_dev(ours, ref):
 
 def main():
     device = str(jax.devices()[0])
-    rows = []
     t_start = time.time()
 
     for study, kind, kwargs in PLAN:
@@ -98,7 +97,6 @@ def main():
                 res = run_eta_study_batched(study, **kwargs)
         except Exception:
             traceback.print_exc()
-            rows.append((study, kind, None))
             continue
         res["total_wallclock_s"] = time.time() - t0
 
@@ -107,7 +105,6 @@ def main():
             res["reference_errors"] = ref_errors
             res["max_rel_dev_vs_reference"] = _max_rel_dev(res["errors"], ref_errors)
         _save_json(res)
-        rows.append((study, kind, res))
         print(
             f"########## done {study}/{kind} in {res['total_wallclock_s']:.1f}s "
             f"max_rel_dev={res.get('max_rel_dev_vs_reference', float('nan')):.2e}",
