@@ -29,6 +29,19 @@ def _style(ax, title: str, xlabel: str, ylabel: str):
         ax.spines[spine].set_visible(False)
 
 
+def guide_exponent(xs, es, expected_rate: float) -> float:
+    """Signed exponent for the O(x^±rate) guide line.
+
+    Spatial ladders refine with GROWING x (x=N, error ~ N^-rate) while
+    temporal ladders refine with SHRINKING x (x=dt, error ~ dt^+rate), so the
+    sign is inferred from whether error and x move together or oppositely
+    across the ladder."""
+    xs = np.asarray(xs, dtype=float)
+    es = np.asarray(es, dtype=float)
+    sign = -1.0 if (es[-1] - es[0]) * (xs[-1] - xs[0]) < 0 else 1.0
+    return sign * float(expected_rate)
+
+
 def plot_errors_and_rates(
     errors: List[float],
     rates: List[float],
@@ -57,12 +70,7 @@ def plot_errors_and_rates(
     es = np.asarray(errors, dtype=float)
     ax_err.plot(xs, es, marker=".", markersize=9, linewidth=1.3, color=_ACCENT)
     if expected_rate and len(xs) >= 2:
-        # Exponent sign follows the ladder direction: spatial ladders refine
-        # with GROWING x (x=N, error ~ N^-rate) while temporal ladders refine
-        # with SHRINKING x (x=dt, error ~ dt^+rate), so infer the sign from
-        # whether error and x move together or oppositely across the ladder.
-        sign = -1.0 if (es[-1] - es[0]) * (xs[-1] - xs[0]) < 0 else 1.0
-        exp = sign * expected_rate
+        exp = guide_exponent(xs, es, expected_rate)
         guide = es[-1] * (xs / xs[-1]) ** exp
         ax_err.plot(xs, guide, "--", linewidth=1.0, color=_GUIDE,
                     label=rf"$\mathcal{{O}}({x_label}^{{{exp:+g}}})$ guide")

@@ -81,6 +81,19 @@ def test_eta_batched_matches_serial_small():
     np.testing.assert_allclose(rb["errors"], rs["errors"], rtol=1e-13)
 
 
+def test_guide_exponent_sign_follows_ladder_direction():
+    """Spatial ladders (x=N grows, error falls) get a NEGATIVE exponent;
+    temporal ladders (x=dt shrinks level-to-level, error falls with dt) get a
+    POSITIVE one — the dashed guide must run parallel to the data, not
+    opposite to it."""
+    from na_dd_tpu.harness.plotting import guide_exponent
+
+    # spatial: refinement = growing N, decreasing error
+    assert guide_exponent([4, 8, 16], [1e-3, 2.5e-4, 6e-5], 2.0) == -2.0
+    # temporal: levels listed coarse->fine, x=dt decreasing, error decreasing
+    assert guide_exponent([1e-2, 5e-3, 2.5e-3], [1e-4, 2.5e-5, 6e-6], 2.0) == 2.0
+
+
 def test_plotting_helpers(tmp_path):
     matplotlib = pytest.importorskip("matplotlib")
     from na_dd_tpu.harness.plotting import plot_errors_and_rates, visualize_mms_solution
