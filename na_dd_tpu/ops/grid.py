@@ -79,7 +79,7 @@ class Grid:
         return value * self.interior_mask
 
 
-def make_grid(x: np.ndarray, y: np.ndarray, dtype=jnp.float64) -> Grid:
+def make_grid(x: np.ndarray, y: np.ndarray, dtype=None) -> Grid:
     """Build a :class:`Grid` from 1-D node coordinate vectors.
 
     Mirrors the reference constructor (src/prob1base.py:221-362) including
@@ -150,7 +150,9 @@ def make_grid(x: np.ndarray, y: np.ndarray, dtype=jnp.float64) -> Grid:
     # colors: the neighbor at offset (a, b) has color (c + a + 2b) mod 5.
     color5 = ((ii + 2 * jj) % 5).astype(np.int32)
 
-    dev = lambda a: jnp.asarray(a, dtype=dtype)
+    # metrics are always COMPUTED in host float64 above; dtype only controls
+    # the device representation (None = f64 under x64, f32 in production mode)
+    dev = lambda a: jnp.asarray(a, dtype=dtype or jnp.result_type(float))
     return Grid(
         xx=dev(xx),
         yy=dev(yy),
@@ -177,6 +179,6 @@ def make_grid(x: np.ndarray, y: np.ndarray, dtype=jnp.float64) -> Grid:
     )
 
 
-def make_uniform_grid(N: int, M: int, dtype=jnp.float64) -> Grid:
+def make_uniform_grid(N: int, M: int, dtype=None) -> Grid:
     """Uniform grid on [0,1]² (reference src/prob1base.py:487-490)."""
     return make_grid(np.linspace(0.0, 1.0, N + 1), np.linspace(0.0, 1.0, M + 1), dtype)
