@@ -14,6 +14,7 @@ plain dicts, JSON-serializable for archiving under ``studies/results/``.
 
 from __future__ import annotations
 
+import math
 import time
 from typing import Dict, List, Optional
 
@@ -251,14 +252,22 @@ def run_temporal_study(
     eta: float = DEFAULT_ETA,
     verbose: bool = True,
     measure_steady: bool = False,
+    shared_compile: bool = False,
 ) -> dict:
     """Notebook cell 11: dt = base_dt / 2^k ladder.
 
     The grid is fixed (``N``) for five studies; the peaks study recomputes
     it per level from dt (``N_of_dt`` — see :func:`_peaks_temporal_N`).
-    Each level gets its own Krylov budget (levels are separate XLA programs
-    regardless, so per-level budgets cost no extra compiles and keep the
-    fine-dt levels on the cheap 16-iteration path).
+
+    shared_compile=False (default): each level bakes its dt as a program
+    constant — one multi-minute XLA compile per level on the f64-emulation
+    backend, with every dt-dependent coefficient folded.
+    shared_compile=True: dt enters as a traced (1,1) argument and the scan is
+    padded to the finest level's step count, so every same-N level of the
+    ladder reuses ONE compiled program (see trial.run_simulation_collect_data
+    traced_dt); the Krylov budget is unified to the ladder's max so budgets
+    don't split the program cache (the unrolled solver's masked early exit
+    makes a larger budget bit-identical, just costlier to compile once).
     """
     cfg = STUDIES[study]
     mc = study_consts(study)
@@ -267,15 +276,30 @@ def run_temporal_study(
     Tf = tcfg["Tf"]
     N_of_dt = tcfg.get("N_of_dt")
 
+    ladder = []
+    for k in range(levels):
+        dt = tcfg["base_dt"] / 2**k
+        N = N_of_dt(dt) if N_of_dt is not None else tcfg["N"]
+        ladder.append((dt, N))
+
+    # shared-compile mode: one budget + one padded step count per grid size
+    max_budget: Dict[int, int] = {}
+    max_pad: Dict[int, int] = {}
+    if shared_compile:
+        for dt, N in ladder:
+            if N < 2:
+                continue
+            nsteps = math.ceil(Tf / dt)
+            max_budget[N] = max(max_budget.get(N, 0), choose_krylov_unroll(N, dt, mc))
+            max_pad[N] = max(max_pad.get(N, 0), nsteps)
+
     errors: List[float] = []
     times: List[float] = []
     steady: List[float] = []
     dts: List[float] = []
     Ns: List[int] = []
     trials: Dict[tuple, MMSTrial] = {}  # keyed on (N, budget); ladders share
-    for k in range(levels):
-        dt = tcfg["base_dt"] / 2**k
-        N = N_of_dt(dt) if N_of_dt is not None else tcfg["N"]
+    for dt, N in ladder:
         dts.append(dt)
         Ns.append(N)
         if N < 2:
@@ -289,18 +313,21 @@ def run_temporal_study(
             if verbose:
                 print(f"  [temporal {study}] dt={dt:.3e} N={N} err=0 (degenerate all-boundary grid)")
             continue
-        unroll = choose_krylov_unroll(N, dt, mc)
+        unroll = max_budget[N] if shared_compile else choose_krylov_unroll(N, dt, mc)
+        run_kwargs = (
+            dict(traced_dt=True, pad_steps=max_pad[N]) if shared_compile else {}
+        )
         trial = trials.get((N, unroll))
         if trial is None:
             trial = trials[(N, unroll)] = _make_trial(
                 cfg["case_cls"], N, eta, mc=mc, krylov_unroll=unroll
             )
         t0 = time.perf_counter()
-        summary = trial.run_for_errors(Tf=Tf, dt=dt)
+        summary = trial.run_for_errors(Tf=Tf, dt=dt, **run_kwargs)
         elapsed = time.perf_counter() - t0
         if measure_steady:
             t0 = time.perf_counter()
-            trial.run_for_errors(Tf=Tf, dt=dt)
+            trial.run_for_errors(Tf=Tf, dt=dt, **run_kwargs)
             steady.append(time.perf_counter() - t0)
         errors.append(summary.overall_combined_error)
         times.append(elapsed)

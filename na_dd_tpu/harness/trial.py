@@ -88,24 +88,37 @@ def run_simulation_collect_data(
     variable_names: List[str],
     integral_vars: List[str],
     ops: Ops = LOCAL_OPS,
+    traced_dt: bool = False,
+    pad_steps: Optional[int] = None,
 ):
     """Run from t0 to Tf collecting per-step error norms.
 
     Returns (ErrorTimeSeries, dt_adjusted).  dt is adjusted so that
     num_steps * dt == Tf - t0 exactly (reference src/mms_trial_utils.py:76-77).
+
+    traced_dt/pad_steps — the temporal-ladder compile sharing mode.  By
+    default dt is baked into the program as a compile-time constant, so every
+    ladder level is its own multi-minute XLA compile on the f64-emulation
+    backend.  With ``traced_dt=True`` dt enters as a traced **(1,1) array**
+    argument (NOT a 0-d scalar: 0-d f64 arithmetic threaded through
+    scanned/while programs degrades to ~f32 on that backend — measured both
+    here and by studies/axon_while_probe.py; (1,1)-shaped arithmetic stays
+    exact) and the scan runs a fixed ``pad_steps >= num_steps`` length — the
+    overrun steps integrate past Tf and their rows are discarded host-side —
+    so ONE compiled program serves every level of a fixed-grid dt ladder.
     """
     num_steps = math.ceil((Tf - t0) / dt)
     dt_adj = (Tf - t0) / num_steps
     variable_names = tuple(variable_names)
     integral_vars = tuple(integral_vars)
+    P = int(pad_steps) if pad_steps is not None else num_steps
+    assert P >= num_steps, f"pad_steps={P} < num_steps={num_steps}"
 
-    # Memoize the traced+compiled simulation on the integrator, keyed on the
-    # *values* of t0/dt: they are baked into the program as compile-time
-    # constants.  (Passing them as traced scalars is numerically hazardous on
-    # the TPU f64-emulation backend: traced-scalar arithmetic threaded through
-    # a scanned program loses ~7 digits vs the constant-folded form — observed
-    # as 1e-8-level state corruption.  Constants also let XLA fold all
-    # dt-dependent stencil coefficients.)
+    # Memoize the traced+compiled simulation on the integrator.  In the
+    # default (baked) mode the key includes the *values* of t0/dt — they are
+    # compile-time constants (which also lets XLA fold every dt-dependent
+    # coefficient).  In traced_dt mode the dt value is excluded: one program
+    # per (grid, pack, ops, pad_steps) serves the whole ladder.
     cache = getattr(integrator, "_sim_cache", None)
     if cache is None:
         cache = {}
@@ -114,9 +127,9 @@ def run_simulation_collect_data(
         id(grid),
         id(exact_sol_pack),
         id(ops),
-        num_steps,
+        P,
         float(t0),
-        float(dt_adj),
+        None if traced_dt else float(dt_adj),
         variable_names,
         integral_vars,
     )
@@ -128,17 +141,16 @@ def run_simulation_collect_data(
                 grid, ops, exact_sol_pack, s, t, variable_names, integral_vars
             )
 
-        @jax.jit
-        def simulate(s0):
+        def simulate_impl(s0, dt_run):
             def body(carry, k):
                 s = carry
-                t_k = t0 + k * dt_adj
-                s1, small = _scan_step(integrator, grid, ops, s, t_k, dt_adj)
-                h_sq, grad_sq = collect(s1, t_k + dt_adj)
+                t_k = t0 + k * dt_run
+                s1, small = _scan_step(integrator, grid, ops, s, t_k, dt_run)
+                h_sq, grad_sq = collect(s1, t_k + dt_run)
                 return s1, (h_sq, grad_sq, small)
 
             h0, g0 = collect(s0, t0)
-            ks = jnp.arange(num_steps, dtype=jnp.result_type(float))
+            ks = jnp.arange(P, dtype=jnp.result_type(float))
             _s_final, (h_sq, grad_sq, small) = jax.lax.scan(body, s0, ks)
             # Pack all outputs into THREE device buffers: through a tunneled
             # backend every fetched buffer costs a host<->device round-trip,
@@ -168,9 +180,24 @@ def run_simulation_collect_data(
             )
             return h_mat, g_mat, small_mat
 
+        if traced_dt:
+            simulate = jax.jit(simulate_impl)
+        else:
+            # dt baked as a constant; keep the single-argument signature
+            simulate = jax.jit(lambda s0: simulate_impl(s0, dt_adj))
+
         cache[key] = simulate
 
-    h_mat, g_mat, small_mat = jax.device_get(simulate(initial_state))
+    if traced_dt:
+        dt_arr = jnp.full((1, 1), dt_adj, dtype=jnp.result_type(float))
+        out = simulate(initial_state, dt_arr)
+    else:
+        out = simulate(initial_state)
+    h_mat, g_mat, small_mat = jax.device_get(out)
+    # discard the padded overrun rows (they integrated past Tf)
+    h_mat = h_mat[:, : num_steps + 1]
+    g_mat = g_mat[:, : num_steps + 1]
+    small_mat = small_mat[:, :num_steps]
 
     hcs_ok, converged, resnorm_sq = small_mat
     if not bool(np.all(hcs_ok > 0.5)):
@@ -305,7 +332,15 @@ class MMSTrial:
         )
         self.initial_state = state_from_mms_when(mms_case=self.mms_case, t=0.0, grid=grid)
 
-    def run_for_errors(self, Tf: float, dt: float, t0: float = 0.0) -> NumericalErrorSummary:
+    def run_for_errors(
+        self,
+        Tf: float,
+        dt: float,
+        t0: float = 0.0,
+        *,
+        traced_dt: bool = False,
+        pad_steps: Optional[int] = None,
+    ) -> NumericalErrorSummary:
         series, dt_adj = run_simulation_collect_data(
             grid=self.grid,
             integrator=self.integrator,
@@ -317,6 +352,8 @@ class MMSTrial:
             variable_names=self.variable_names,
             integral_vars=self.integral_vars,
             ops=self.ops,
+            traced_dt=traced_dt,
+            pad_steps=pad_steps,
         )
         return NumericalErrorSummary(
             dt_used=dt_adj,

@@ -81,6 +81,31 @@ def test_eta_batched_matches_serial_small():
     np.testing.assert_allclose(rb["errors"], rs["errors"], rtol=1e-13)
 
 
+def test_traced_dt_padded_scan_matches_baked():
+    """The temporal-ladder compile-sharing mode (dt as a traced (1,1)
+    argument + padded scan with host-side row discard) must reproduce the
+    baked-constant-dt runs essentially exactly, while compiling ONE program
+    for the whole ladder."""
+    from na_dd_tpu.harness.studies import _make_trial, study_consts
+    from na_dd_tpu.mms import cases as mms_cases
+
+    mc = study_consts("pol")
+    Tf, dts = 0.01, [2e-3, 1e-3, 5e-4]
+    pad = 20  # ceil(Tf/min(dts))
+
+    baked = _make_trial(mms_cases.MMSCasePol, 8, 50.0, mc=mc, krylov_unroll=8)
+    traced = _make_trial(mms_cases.MMSCasePol, 8, 50.0, mc=mc, krylov_unroll=8)
+    for dt in dts:
+        eb = baked.run_for_errors(Tf=Tf, dt=dt).overall_combined_error
+        et = traced.run_for_errors(
+            Tf=Tf, dt=dt, traced_dt=True, pad_steps=pad
+        ).overall_combined_error
+        assert abs(et - eb) <= 1e-12 * abs(eb), (dt, eb, et)
+    # one cached program served all three levels
+    assert len(traced.integrator._sim_cache) == 1
+    assert len(baked.integrator._sim_cache) == 3
+
+
 def test_guide_exponent_sign_follows_ladder_direction():
     """Spatial ladders (x=N grows, error falls) get a NEGATIVE exponent;
     temporal ladders (x=dt shrinks level-to-level, error falls with dt) get a
