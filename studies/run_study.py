@@ -59,14 +59,22 @@ def main():
     p.add_argument("--expected-rate", type=float, default=2.0)
     p.add_argument("--serial-eta", action="store_true",
                    help="run the eta sweep serially instead of vmapped")
+    p.add_argument("--shared-compile", action="store_true",
+                   help="temporal ladders: traced-dt padded-scan mode — one "
+                        "XLA compile per grid size instead of per level")
+    p.add_argument("--measure-steady", action="store_true",
+                   help="re-run each level warm for a compile-free time")
     args = p.parse_args()
 
     def run_one(study, kind, levels):
         print(f"\n===== {study} / {kind} =====")
         if kind == "spatial":
-            res = run_spatial_study(study, levels=levels or 8)
+            res = run_spatial_study(study, levels=levels or 8,
+                                    measure_steady=args.measure_steady)
         elif kind == "temporal":
-            res = run_temporal_study(study, levels=levels)
+            res = run_temporal_study(study, levels=levels,
+                                     shared_compile=args.shared_compile,
+                                     measure_steady=args.measure_steady)
         else:
             # the vmapped sweep runs all seven eta values in ONE XLA program;
             # --serial-eta keeps the reference's one-run-per-eta loop
