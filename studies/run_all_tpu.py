@@ -91,7 +91,12 @@ def main():
             if kind == "spatial":
                 res = run_spatial_study(study, measure_steady=True, **kwargs)
             elif kind == "temporal":
-                res = run_temporal_study(study, measure_steady=True, **kwargs)
+                # NA_DD_SHARED_COMPILE=1: traced-dt padded-scan mode — one
+                # XLA compile per grid size instead of per dt level
+                shared = os.environ.get("NA_DD_SHARED_COMPILE", "") == "1"
+                res = run_temporal_study(
+                    study, measure_steady=True, shared_compile=shared, **kwargs
+                )
             else:
                 # all eta values in one vmapped program (reference loops them)
                 res = run_eta_study_batched(study, **kwargs)
