@@ -13,13 +13,16 @@ Notes:
   budget; an assertion guards the limit.
 * Mosaic does not support f64 — on real TPU use this with the f32 production
   mode (NA_DD_TPU_X64=0).  Under ``interpret=True`` (tests) any dtype works.
-* The shifted neighbor reads are realized by writing the *shifted products*
-  with static slices, which lowers to cheap VPU shifts — no gathers.
+* The shifted neighbor reads are realized as static slice + concatenate of a
+  zero edge line (exactly the :mod:`na_dd_tpu.ops.shifts` semantics), which
+  Mosaic lowers to cheap in-register shifts — value-level ``.at[].add``
+  scatter updates are NOT used (scatter-add has no Mosaic TC lowering).
 """
 
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 try:  # pltpu is importable on CPU builds too; guard anyway
@@ -34,18 +37,21 @@ _VMEM_LIMIT_BYTES = 14 * 1024 * 1024
 
 def _stencil5_kernel(u_ref, c0_ref, cxm_ref, cxp_ref, cym_ref, cyp_ref, out_ref):
     u = u_ref[:]
-    acc = c0_ref[:] * u
-
-    # cxm[i,j] * u[i-1,j]: rows 1.. read u rows 0..-1 (row 0 contributes 0)
-    acc = acc.at[1:, :].add(cxm_ref[1:, :] * u[:-1, :])
-    # cxp[i,j] * u[i+1,j]
-    acc = acc.at[:-1, :].add(cxp_ref[:-1, :] * u[1:, :])
-    # cym[i,j] * u[i,j-1]
-    acc = acc.at[:, 1:].add(cym_ref[:, 1:] * u[:, :-1])
-    # cyp[i,j] * u[i,j+1]
-    acc = acc.at[:, :-1].add(cyp_ref[:, :-1] * u[:, 1:])
-
-    out_ref[:] = acc
+    zrow = jnp.zeros_like(u[:1, :])
+    zcol = jnp.zeros_like(u[:, :1])
+    # u shifted so that element [i,j] holds the required neighbor; the zero
+    # edge line reproduces the global-boundary zero-inflow shift semantics
+    u_xm = jnp.concatenate([zrow, u[:-1, :]], axis=0)  # u[i-1,j]
+    u_xp = jnp.concatenate([u[1:, :], zrow], axis=0)  # u[i+1,j]
+    u_ym = jnp.concatenate([zcol, u[:, :-1]], axis=1)  # u[i,j-1]
+    u_yp = jnp.concatenate([u[:, 1:], zcol], axis=1)  # u[i,j+1]
+    out_ref[:] = (
+        c0_ref[:] * u
+        + cxm_ref[:] * u_xm
+        + cxp_ref[:] * u_xp
+        + cym_ref[:] * u_ym
+        + cyp_ref[:] * u_yp
+    )
 
 
 def stencil5_apply_pallas(stencil, u, *, interpret: bool = False):
