@@ -183,8 +183,13 @@ def run_simulation_collect_data(
         if traced_dt:
             simulate = jax.jit(simulate_impl)
         else:
-            # dt baked as a constant; keep the single-argument signature
-            simulate = jax.jit(lambda s0: simulate_impl(s0, dt_adj))
+            # dt baked as a constant; the wrapper keeps the historical
+            # function NAME (it feeds the XLA module name and hence the
+            # persistent compilation-cache key)
+            def simulate(s0):
+                return simulate_impl(s0, dt_adj)
+
+            simulate = jax.jit(simulate)
 
         cache[key] = simulate
 
