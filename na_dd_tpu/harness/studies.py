@@ -105,6 +105,13 @@ STUDIES: Dict[str, dict] = {
         consts=POL_PEAKS_CONSTS,
         spatial_Tf=1.0,
         temporal=dict(N_of_dt=_peaks_temporal_N, base_dt=1.0, levels=9, Tf=10.0),
+        # Measured (TPU, 2026-08): at the generic tier-8 budget the peaks
+        # SPATIAL ladder deviates up to 56% at N=256 with all solves
+        # reporting converged (CPU x64 at the same budget is exact to 5e-8,
+        # and budget 16 is exact on TPU too — /tmp bisect, N=128:
+        # 8→2.2e-2, 16→5.7e-8).  The violently-moving-Gaussian case needs
+        # more slack against f64-emulation noise than the smooth cases.
+        min_krylov_unroll=16,
     ),
 }
 
@@ -157,6 +164,16 @@ def choose_krylov_unroll(
     return 160
 
 
+def _study_unroll(cfg: dict, N: int, dt: float, mc: ModelConsts, num_steps=None) -> int:
+    """Per-study unrolled-Krylov budget: the generic stiffness tier, floored
+    by the study's measured ``min_krylov_unroll`` (see the peaks registry
+    entry for the measurement that motivates the floor)."""
+    return max(
+        choose_krylov_unroll(N, dt, mc, num_steps=num_steps),
+        cfg.get("min_krylov_unroll", 0),
+    )
+
+
 def _make_trial(
     case_cls,
     N: int,
@@ -165,6 +182,7 @@ def _make_trial(
     track_residuals=False,
     krylov_unroll=16,
     mc: ModelConsts = STUDY_MODEL_CONSTS,
+    **integrator_kwargs,
 ) -> MMSTrial:
     grid = make_uniform_grid(N, N)
     model = Model02(mc)
@@ -181,6 +199,7 @@ def _make_trial(
             regularization_factor=eta,
             track_residuals=track_residuals,
             krylov_unroll=krylov_unroll,
+            **integrator_kwargs,
         ),
     )
 
@@ -215,7 +234,7 @@ def run_spatial_study(
         nsteps = math.ceil(Tf / dt)
         trial = _make_trial(
             cfg["case_cls"], N, eta, mc=mc,
-            krylov_unroll=choose_krylov_unroll(N, dt, mc, num_steps=nsteps),
+            krylov_unroll=_study_unroll(cfg, N, dt, mc, num_steps=nsteps),
         )
         t0 = time.perf_counter()
         summary = trial.run_for_errors(Tf=Tf, dt=dt)
@@ -290,7 +309,7 @@ def run_temporal_study(
             if N < 2:
                 continue
             nsteps = math.ceil(Tf / dt)
-            max_budget[N] = max(max_budget.get(N, 0), choose_krylov_unroll(N, dt, mc))
+            max_budget[N] = max(max_budget.get(N, 0), _study_unroll(cfg, N, dt, mc))
             max_pad[N] = max(max_pad.get(N, 0), nsteps)
 
     errors: List[float] = []
@@ -313,7 +332,7 @@ def run_temporal_study(
             if verbose:
                 print(f"  [temporal {study}] dt={dt:.3e} N={N} err=0 (degenerate all-boundary grid)")
             continue
-        unroll = max_budget[N] if shared_compile else choose_krylov_unroll(N, dt, mc)
+        unroll = max_budget[N] if shared_compile else _study_unroll(cfg, N, dt, mc)
         run_kwargs = (
             dict(traced_dt=True, pad_steps=max_pad[N]) if shared_compile else {}
         )
@@ -392,7 +411,7 @@ def run_eta_study_batched(
     s0 = state_from_mms_when(mms_case=case, t=0.0, grid=grid)
     num_steps = math.ceil(Tf / dt)
     dt_adj = Tf / num_steps
-    unroll = choose_krylov_unroll(N, dt_adj, mc)
+    unroll = _study_unroll(cfg, N, dt_adj, mc)
 
     def simulate_one(eta):
         forcing = _Forcing(mms_case=case, model=model, regularization_factor=eta)
@@ -485,7 +504,7 @@ def run_eta_study(
     for eta in etas:
         trial = _make_trial(
             cfg["case_cls"], N, eta, mc=mc,
-            krylov_unroll=choose_krylov_unroll(N, dt, mc, num_steps=nsteps),
+            krylov_unroll=_study_unroll(cfg, N, dt, mc, num_steps=nsteps),
         )
         t0 = time.perf_counter()
         summary = trial.run_for_errors(Tf=Tf, dt=dt)

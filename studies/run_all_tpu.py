@@ -84,7 +84,18 @@ def main():
     device = str(jax.devices()[0])
     t_start = time.time()
 
+    # --only <study> [<kind>]: re-run a subset (results merge into the same
+    # archive; REPRODUCTION.md is re-rendered from ALL archived JSONs)
+    only_study = sys.argv[sys.argv.index("--only") + 1] if "--only" in sys.argv else None
+    only_kind = (
+        sys.argv[sys.argv.index("--only") + 2]
+        if only_study and len(sys.argv) > sys.argv.index("--only") + 2
+        else None
+    )
+
     for study, kind, kwargs in PLAN:
+        if only_study and (study != only_study or (only_kind and kind != only_kind)):
+            continue
         print(f"\n########## {study} / {kind} ##########", flush=True)
         t0 = time.time()
         try:
