@@ -108,14 +108,17 @@ def write_report(device: str = "", total_s: float | None = None) -> str:
         "  solution vanishes there).",
         "- Temporal ladders whose rates are nan/negative reproduce the",
         "  reference's own behavior (errors sitting on the spatial floor).",
-        "- TPU f64 emulation carries an ~1e-10 ABSOLUTE noise floor on",
-        "  transcendental-heavy study errors; CPU x64 reproduces the reference",
-        "  to <=1e-8 relative (tests/test_parity_golden.py and",
+        "- TPU f64-emulation rounding is program-shape-dependent (see the TPU",
+        "  float64 notes in README.md); study configs are pinned by per-study",
+        "  measurement (e.g. the peaks min_krylov_unroll=16 floor in",
+        "  harness/studies.py).  CPU x64 reproduces the reference to <=1e-8",
+        "  relative for every solver shape (tests/test_parity_golden.py and",
         "  studies/results/expsin_cpu_check.json).",
     ]
     if total_s is not None:
-        lines.append(f"- Total reproduction wall-clock: {total_s:.0f}s (one TPU chip, f64,")
-        lines.append("  persistent compile cache).")
+        lines.append(f"- Wall-clock of the invocation that last refreshed this report:")
+        lines.append(f"  {total_s:.0f}s (one TPU chip, f64, persistent compile cache;")
+        lines.append("  partial --only reruns refresh only their own rows).")
     if missing:
         lines.append(f"- Missing runs: {missing} (rerun `python studies/run_all_tpu.py`).")
     text = "\n".join(lines) + "\n"
