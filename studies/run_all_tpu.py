@@ -102,9 +102,12 @@ def main():
             if kind == "spatial":
                 res = run_spatial_study(study, measure_steady=True, **kwargs)
             elif kind == "temporal":
-                # NA_DD_SHARED_COMPILE=1: traced-dt padded-scan mode — one
-                # XLA compile per grid size instead of per dt level
-                shared = os.environ.get("NA_DD_SHARED_COMPILE", "") == "1"
+                # Traced-dt padded-scan mode: one XLA compile per grid size
+                # instead of per dt level (~4x fewer temporal compiles).
+                # TPU-validated 2026-08: pol temporal shared-vs-baked agree
+                # to <=3e-11 relative per level.  NA_DD_SHARED_COMPILE=0
+                # restores per-level baked-dt programs.
+                shared = os.environ.get("NA_DD_SHARED_COMPILE", "1") != "0"
                 res = run_temporal_study(
                     study, measure_steady=True, shared_compile=shared, **kwargs
                 )
