@@ -276,15 +276,30 @@ class PCTrapezoidalBase:
 
         def solve_assembled(st, rhs):
             """Krylov on assembled Newton planes (diag = st.c0 is exact)."""
-            if self.stencil_backend == "pallas" and ops is LOCAL_OPS:
-                from na_dd_tpu.ops.pallas_kernels import stencil5_apply_pallas
-
-                matvec = lambda w: stencil5_apply_pallas(st, w)  # noqa: E731
-            else:
-                matvec = lambda w: st.apply(ops, w)  # noqa: E731
             inv_diag = jnp.where(
                 mask > 0, 1.0 / jnp.where(st.c0 == 0, 1.0, st.c0), 0.0
             )
+            if self.stencil_backend == "pallas" and ops is LOCAL_OPS:
+                from na_dd_tpu.ops.pallas_kernels import (
+                    bicgstab_solve_pallas,
+                    stencil5_apply_pallas,
+                )
+
+                if self.krylov_unroll is not None and not self.krylov_scanned:
+                    # whole solve in ONE VMEM-resident kernel (same masked
+                    # early-exit update as bicgstab_unrolled)
+                    delta, info = bicgstab_solve_pallas(
+                        st,
+                        rhs * mask,
+                        inv_diag,
+                        mask,
+                        tol=self.krylov_tol,
+                        iters=self.krylov_unroll,
+                    )
+                    return delta * mask, info
+                matvec = lambda w: stencil5_apply_pallas(st, w)  # noqa: E731
+            else:
+                matvec = lambda w: st.apply(ops, w)  # noqa: E731
             return krylov(matvec, rhs, inv_diag)
 
         def inner_solve(matvec, rhs):

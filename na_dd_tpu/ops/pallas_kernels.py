@@ -37,14 +37,7 @@ _VMEM_LIMIT_BYTES = 14 * 1024 * 1024
 
 def _stencil5_kernel(u_ref, c0_ref, cxm_ref, cxp_ref, cym_ref, cyp_ref, out_ref):
     u = u_ref[:]
-    zrow = jnp.zeros_like(u[:1, :])
-    zcol = jnp.zeros_like(u[:, :1])
-    # u shifted so that element [i,j] holds the required neighbor; the zero
-    # edge line reproduces the global-boundary zero-inflow shift semantics
-    u_xm = jnp.concatenate([zrow, u[:-1, :]], axis=0)  # u[i-1,j]
-    u_xp = jnp.concatenate([u[1:, :], zrow], axis=0)  # u[i+1,j]
-    u_ym = jnp.concatenate([zcol, u[:, :-1]], axis=1)  # u[i,j-1]
-    u_yp = jnp.concatenate([u[:, 1:], zcol], axis=1)  # u[i,j+1]
+    u_xm, u_xp, u_ym, u_yp = _shifted(u)
     out_ref[:] = (
         c0_ref[:] * u
         + cxm_ref[:] * u_xm
@@ -52,6 +45,134 @@ def _stencil5_kernel(u_ref, c0_ref, cxm_ref, cxp_ref, cym_ref, cyp_ref, out_ref)
         + cym_ref[:] * u_ym
         + cyp_ref[:] * u_yp
     )
+
+
+def _shifted(u):
+    """The four zero-inflow-shifted copies of u (shift-op semantics)."""
+    zrow = jnp.zeros_like(u[:1, :])
+    zcol = jnp.zeros_like(u[:, :1])
+    u_xm = jnp.concatenate([zrow, u[:-1, :]], axis=0)
+    u_xp = jnp.concatenate([u[1:, :], zrow], axis=0)
+    u_ym = jnp.concatenate([zcol, u[:, :-1]], axis=1)
+    u_yp = jnp.concatenate([u[:, 1:], zcol], axis=1)
+    return u_xm, u_xp, u_ym, u_yp
+
+
+def _make_bicgstab_kernel(iters: int, tol: float):
+    def kernel(b_ref, c0_ref, cxm_ref, cxp_ref, cym_ref, cyp_ref,
+               invd_ref, mask_ref, x_ref):
+        mask = mask_ref[:]
+        c0, cxm, cxp, cym, cyp = (
+            c0_ref[:], cxm_ref[:], cxp_ref[:], cym_ref[:], cyp_ref[:]
+        )
+
+        def matvec(w):
+            u_xm, u_xp, u_ym, u_yp = _shifted(w)
+            return c0 * w + cxm * u_xm + cxp * u_xp + cym * u_ym + cyp * u_yp
+
+        minv = lambda r: r * invd_ref[:]
+        dot = lambda u, v: jnp.sum(u * v)
+
+        b = b_ref[:]
+        dt_ = b.dtype
+        eps_div = jnp.asarray(1e-300, dtype=dt_)
+
+        def safe_div(num, den):
+            den_ok = jnp.abs(den) > eps_div
+            return jnp.where(den_ok, num / jnp.where(den_ok, den, 1.0), 0.0), den_ok
+
+        # x0 = 0  =>  r0 = b
+        r = b
+        rhat = r
+        tol_sq = jnp.asarray(tol * tol, dt_) * dot(b, b)
+        x = jnp.zeros_like(b)
+        z = jnp.zeros_like(b)
+        one = jnp.asarray(1.0, dt_)
+        p, v = z, z
+        rho = alpha = omega = one
+        done = dot(r, r) <= tol_sq
+
+        for _ in range(iters):
+            keep = lambda old, new: jnp.where(done, old, new)  # noqa: E731
+            rho1 = dot(rhat, r)
+            ratio, ok1 = safe_div(rho1, rho)
+            aw, ok2 = safe_div(alpha, omega)
+            beta = ratio * aw
+            p_new = r + beta * (p - omega * v)
+            phat = minv(p_new)
+            v_new = matvec(phat)
+            alpha_new, ok3 = safe_div(rho1, dot(rhat, v_new))
+            s = r - alpha_new * v_new
+            x_half = x + alpha_new * phat
+            s_conv = dot(s, s) <= tol_sq
+
+            shat = minv(s)
+            t = matvec(shat)
+            omega_new, ok4 = safe_div(dot(t, s), dot(t, t))
+            x_full = x_half + omega_new * shat
+            r_new = jnp.where(s_conv, s, s - omega_new * t)
+            x_new = jnp.where(s_conv, x_half, x_full)
+
+            breakdown = jnp.logical_not(ok1 & ok2 & ok3 & ok4)
+            x = keep(x, x_new)
+            r = keep(r, r_new)
+            p = keep(p, p_new)
+            v = keep(v, v_new)
+            rho = keep(rho, rho1)
+            alpha = keep(alpha, alpha_new)
+            omega = keep(omega, omega_new)
+            done = done | s_conv | breakdown | (dot(r, r) <= tol_sq)
+
+        x_ref[:] = x * mask
+
+    return kernel
+
+
+def bicgstab_solve_pallas(
+    stencil, b, inv_diag, mask, *, tol: float, iters: int, interpret: bool = False
+):
+    """Whole Jacobi-BiCGStab solve (x0 = 0, ``iters`` masked-early-exit
+    iterations — the exact :func:`na_dd_tpu.ops.linsolve.bicgstab_unrolled`
+    update) as ONE VMEM-resident Pallas kernel: every iterate stays on-chip
+    for the entire solve, removing the per-iteration HBM boundary of the
+    apply-only kernel.
+
+    Returns ``(x, info)``; the residual diagnostics in ``info`` are computed
+    OUTSIDE the kernel from one extra stencil apply (``iters`` in info is the
+    budget — the in-kernel early exit is not read back).
+    """
+    nbytes = b.size * b.dtype.itemsize * 16  # planes + vectors + temps
+    assert nbytes <= _VMEM_LIMIT_BYTES, (
+        f"bicgstab_solve_pallas is a single-block kernel; ~{nbytes} bytes "
+        f"of VMEM footprint exceed the budget — use the jnp path"
+    )
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        )
+        spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    else:
+        spec = pl.BlockSpec(memory_space=pl.ANY)
+
+    x = pl.pallas_call(
+        _make_bicgstab_kernel(int(iters), float(tol)),
+        out_shape=jax.ShapeDtypeStruct(b.shape, b.dtype),
+        in_specs=[spec] * 8,
+        out_specs=spec,
+        interpret=interpret,
+        **kwargs,
+    )(b, stencil.c0, stencil.cxm, stencil.cxp, stencil.cym, stencil.cyp,
+      inv_diag, mask)
+
+    r = b - stencil5_apply_pallas(stencil, x, interpret=interpret)
+    rsq = jnp.sum(r * r)
+    tol_sq = tol * tol * jnp.sum(b * b)
+    return x, {
+        "iters": jnp.asarray(iters),
+        "resnorm_sq": rsq,
+        "converged": rsq <= tol_sq,
+    }
 
 
 def stencil5_apply_pallas(stencil, u, *, interpret: bool = False):

@@ -60,3 +60,36 @@ def test_stencil5_pallas_on_probed_operator():
         rtol=1e-12,
         atol=1e-15,
     )
+
+
+def test_bicgstab_solve_pallas_matches_unrolled():
+    """The fused whole-solve kernel runs the exact bicgstab_unrolled update,
+    so on the same system it must land on (essentially) the same solution."""
+    from na_dd_tpu.ops.pallas_kernels import bicgstab_solve_pallas
+
+    g = make_uniform_grid(10, 12)
+    rng = np.random.RandomState(11)
+    mask = g.interior_mask
+    # diagonally dominant Newton-like stencil (2I - dt L shape)
+    shape = g.full_shape
+    mk = lambda s: jnp.asarray(s * rng.rand(*shape)) * mask
+    st = linsolve.Stencil5(
+        c0=(2.0 + mk(0.4)) * mask, cxm=mk(0.1), cxp=mk(0.1), cym=mk(0.1), cyp=mk(0.1)
+    )
+    x_true = jnp.asarray(rng.rand(*shape)) * mask
+    b = st.apply(LOCAL_OPS, x_true)
+    inv_diag = jnp.where(mask > 0, 1.0 / jnp.where(st.c0 == 0, 1.0, st.c0), 0.0)
+    dot = lambda u, v: LOCAL_OPS.asum(u * v)
+
+    x_ref, info_ref = linsolve.bicgstab_unrolled(
+        lambda w: st.apply(LOCAL_OPS, w), b * mask, jnp.zeros_like(b),
+        dot=dot, minv=lambda r: r * inv_diag, tol=1e-13, iters=24,
+    )
+    x_pal, info_pal = bicgstab_solve_pallas(
+        st, b * mask, inv_diag, mask, tol=1e-13, iters=24, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_pal), np.asarray(x_ref * mask), rtol=1e-10, atol=1e-12
+    )
+    assert float(jnp.max(jnp.abs(x_pal - x_true))) < 1e-9
+    assert bool(info_pal["converged"])
