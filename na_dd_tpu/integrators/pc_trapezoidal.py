@@ -285,6 +285,10 @@ class PCTrapezoidalBase:
                     stencil5_apply_pallas,
                 )
 
+                # on CPU the kernels run in interpret mode, so the pallas
+                # code path is exercisable (and tested) off-TPU (the axon
+                # plugin's backend name is not "tpu", so test for cpu)
+                interp = jax.default_backend() == "cpu"
                 if self.krylov_unroll is not None and not self.krylov_scanned:
                     # whole solve in ONE VMEM-resident kernel (same masked
                     # early-exit update as bicgstab_unrolled)
@@ -295,9 +299,10 @@ class PCTrapezoidalBase:
                         mask,
                         tol=self.krylov_tol,
                         iters=self.krylov_unroll,
+                        interpret=interp,
                     )
                     return delta * mask, info
-                matvec = lambda w: stencil5_apply_pallas(st, w)  # noqa: E731
+                matvec = lambda w: stencil5_apply_pallas(st, w, interpret=interp)  # noqa: E731
             else:
                 matvec = lambda w: st.apply(ops, w)  # noqa: E731
             return krylov(matvec, rhs, inv_diag)

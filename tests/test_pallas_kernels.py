@@ -93,3 +93,25 @@ def test_bicgstab_solve_pallas_matches_unrolled():
     )
     assert float(jnp.max(jnp.abs(x_pal - x_true))) < 1e-9
     assert bool(info_pal["converged"])
+
+
+def test_integrator_pallas_backend_matches_jnp_on_cpu():
+    """The integrated pallas path (fused whole-solve kernel inside the PC
+    step, interpret mode on CPU) must reproduce the jnp backend's study
+    error essentially exactly."""
+    from na_dd_tpu.harness.studies import _make_trial, study_consts
+    from na_dd_tpu.mms import cases as mms_cases
+
+    mc = study_consts("pol")
+    kw = dict(mc=mc, krylov_unroll=8)
+    e_jnp = (
+        _make_trial(mms_cases.MMSCasePol, 12, 50.0, **kw)
+        .run_for_errors(Tf=0.01, dt=1e-3)
+        .overall_combined_error
+    )
+    e_pal = (
+        _make_trial(mms_cases.MMSCasePol, 12, 50.0, stencil_backend="pallas", **kw)
+        .run_for_errors(Tf=0.01, dt=1e-3)
+        .overall_combined_error
+    )
+    assert abs(e_pal - e_jnp) <= 1e-10 * abs(e_jnp), (e_jnp, e_pal)
