@@ -22,10 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_enable_x64", True)
+from na_dd_tpu.config import enable_persistent_compilation_cache, setup_x64
 
-from na_dd_tpu.config import enable_persistent_compilation_cache
-
+setup_x64()  # f64 by default; NA_DD_TPU_X64=0 selects the f32 production mode
 enable_persistent_compilation_cache()
 
 from na_dd_tpu.harness.rates import report_on_rates
