@@ -34,11 +34,18 @@ def guide_exponent(xs, es, expected_rate: float) -> float:
 
     Spatial ladders refine with GROWING x (x=N, error ~ N^-rate) while
     temporal ladders refine with SHRINKING x (x=dt, error ~ dt^+rate), so the
-    sign is inferred from whether error and x move together or oppositely
-    across the ladder."""
+    sign is inferred from whether error and x move together or oppositely —
+    using the LAST two nonzero levels, not the ladder endpoints: leading
+    exactly-zero levels (the peaks temporal ladder's degenerate all-boundary
+    grids) and pre-asymptotic wiggles would flip an endpoint-based guess."""
     xs = np.asarray(xs, dtype=float)
     es = np.asarray(es, dtype=float)
-    sign = -1.0 if (es[-1] - es[0]) * (xs[-1] - xs[0]) < 0 else 1.0
+    nz = np.nonzero(es)[0]
+    if len(nz) >= 2:
+        i, j = nz[-2], nz[-1]
+    else:
+        i, j = 0, len(es) - 1
+    sign = -1.0 if (es[j] - es[i]) * (xs[j] - xs[i]) < 0 else 1.0
     return sign * float(expected_rate)
 
 

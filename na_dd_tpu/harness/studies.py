@@ -66,7 +66,6 @@ def _peaks_temporal_N(dt: float) -> int:
     error norm is identically 0.0 — the 0.0 entries in the saved outputs);
     ours requires an interior point, so run_temporal_study emits that exact
     0.0 analytically for N < 2 instead of simulating."""
-    import math
 
     return math.ceil(1.0 / (2.0 * dt))
 
@@ -226,7 +225,6 @@ def run_spatial_study(
     times: List[float] = []
     steady: List[float] = []
     Ns: List[int] = []
-    import math
 
     for k in range(levels):
         N = base_N * 2**k
@@ -365,6 +363,11 @@ def run_temporal_study(
         errors=errors,
         wallclock_s=times,
         steady_s=steady or None,
+        # In shared_compile mode each same-N level executes the PADDED
+        # (ladder-max) step count, so per-level wallclock/steady measure the
+        # shared program, not the level's own step count — flagged here so
+        # archived timings are interpretable.
+        shared_compile=shared_compile,
         rates=[r for r, _ in rates],
         statuses=[s for _, s in rates],
     )
@@ -385,7 +388,6 @@ def run_eta_study_batched(
     pointwise cs-Newton use pure where-masked early exits, so vmap batching is
     bit-identical to the serial runs.
     """
-    import math
 
     import jax
     import jax.numpy as jnp
@@ -498,7 +500,6 @@ def run_eta_study(
     etas = etas or ETA_LADDER
     errors: List[float] = []
     times: List[float] = []
-    import math
 
     nsteps = math.ceil(Tf / dt)
     for eta in etas:

@@ -139,11 +139,14 @@ class PCTrapezoidalBase:
         applications per sweep.
 
         stencil_backend: "jnp" (default) or "pallas" — the f32 production
-        path can route the assembled-stencil applies through the fused
-        VMEM-resident Pallas kernel (ops/pallas_kernels.py); Mosaic has no
+        path routes whole assembled-stencil solves through the fused
+        VMEM-resident Pallas kernels (ops/pallas_kernels.py); Mosaic has no
         f64, so "pallas" requires NA_DD_TPU_X64=0 on real TPU.  Defaults from
         the NA_DD_TPU_STENCIL env var; silently used only on the local
-        (single-device) ops path."""
+        (single-device) ops path.  Caveat: with the fused solve kernel,
+        ``StepDiagnostics.krylov_iters`` reports the ITERATION BUDGET (an
+        upper bound), not the data-dependent count the jnp solvers report —
+        the in-kernel early-exit flag is not read back."""
         self.semi_discrete_field = semi_discrete_field
         self._model = semi_discrete_field.model
         self._grid = semi_discrete_field.grid
@@ -281,7 +284,9 @@ class PCTrapezoidalBase:
             )
             if self.stencil_backend == "pallas" and ops is LOCAL_OPS:
                 from na_dd_tpu.ops.pallas_kernels import (
+                    apply_fits,
                     bicgstab_solve_pallas,
+                    fused_solve_fits,
                     stencil5_apply_pallas,
                 )
 
@@ -289,7 +294,14 @@ class PCTrapezoidalBase:
                 # code path is exercisable (and tested) off-TPU (the axon
                 # plugin's backend name is not "tpu", so test for cpu)
                 interp = jax.default_backend() == "cpu"
-                if self.krylov_unroll is not None and not self.krylov_scanned:
+                if (
+                    self.krylov_unroll is not None
+                    and not self.krylov_scanned
+                    # grids too big for the single-block fused solve fall
+                    # back to the apply-only kernel below (still VMEM-fused
+                    # per apply)
+                    and fused_solve_fits(rhs.shape, rhs.dtype)
+                ):
                     # whole solve in ONE VMEM-resident kernel (same masked
                     # early-exit update as bicgstab_unrolled)
                     delta, info = bicgstab_solve_pallas(
@@ -302,7 +314,11 @@ class PCTrapezoidalBase:
                         interpret=interp,
                     )
                     return delta * mask, info
-                matvec = lambda w: stencil5_apply_pallas(st, w, interpret=interp)  # noqa: E731
+                if apply_fits(rhs.shape, rhs.dtype):
+                    matvec = lambda w: stencil5_apply_pallas(st, w, interpret=interp)  # noqa: E731
+                else:
+                    # beyond even the apply kernel's VMEM budget: jnp path
+                    matvec = lambda w: st.apply(ops, w)  # noqa: E731
             else:
                 matvec = lambda w: st.apply(ops, w)  # noqa: E731
             return krylov(matvec, rhs, inv_diag)

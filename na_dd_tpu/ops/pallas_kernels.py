@@ -128,6 +128,25 @@ def _make_bicgstab_kernel(iters: int, tol: float):
     return kernel
 
 
+def _footprint_fits(shape, dtype, live_planes: int) -> bool:
+    import numpy as np
+
+    size = int(np.prod(shape))
+    return size * np.dtype(dtype).itemsize * live_planes <= _VMEM_LIMIT_BYTES
+
+
+def apply_fits(shape, dtype) -> bool:
+    """Whether :func:`stencil5_apply_pallas` (7 live planes) fits VMEM."""
+    return _footprint_fits(shape, dtype, 7)
+
+
+def fused_solve_fits(shape, dtype) -> bool:
+    """Whether :func:`bicgstab_solve_pallas`'s single-block VMEM footprint
+    (~16 live planes/vectors) fits the budget for this operand; callers fall
+    back to the apply-only kernel / jnp path when it does not."""
+    return _footprint_fits(shape, dtype, 16)
+
+
 def bicgstab_solve_pallas(
     stencil, b, inv_diag, mask, *, tol: float, iters: int, interpret: bool = False
 ):
@@ -141,10 +160,10 @@ def bicgstab_solve_pallas(
     OUTSIDE the kernel from one extra stencil apply (``iters`` in info is the
     budget — the in-kernel early exit is not read back).
     """
-    nbytes = b.size * b.dtype.itemsize * 16  # planes + vectors + temps
-    assert nbytes <= _VMEM_LIMIT_BYTES, (
-        f"bicgstab_solve_pallas is a single-block kernel; ~{nbytes} bytes "
-        f"of VMEM footprint exceed the budget — use the jnp path"
+    assert fused_solve_fits(b.shape, b.dtype), (
+        "bicgstab_solve_pallas is a single-block kernel and this operand "
+        "exceeds the VMEM budget — callers must check fused_solve_fits() "
+        "and fall back to the apply-only kernel / jnp path"
     )
     kwargs = {}
     if _HAS_PLTPU and not interpret:
@@ -181,10 +200,10 @@ def stencil5_apply_pallas(stencil, u, *, interpret: bool = False):
 
     Drop-in equal to ``stencil.apply(LOCAL_OPS, u)`` (single-device layout).
     """
-    nbytes = u.size * u.dtype.itemsize * 7  # 6 inputs + 1 output
-    assert nbytes <= _VMEM_LIMIT_BYTES, (
-        f"stencil5_apply_pallas is a single-block kernel; {nbytes} bytes "
-        f"exceed the VMEM budget — tile the grid or use the jnp path"
+    assert apply_fits(u.shape, u.dtype), (
+        "stencil5_apply_pallas is a single-block kernel and this operand "
+        "exceeds the VMEM budget — callers must check apply_fits() and "
+        "fall back to the jnp path"
     )
     kwargs = {}
     if _HAS_PLTPU and not interpret:

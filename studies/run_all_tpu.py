@@ -86,12 +86,23 @@ def main():
 
     # --only <study> [<kind>]: re-run a subset (results merge into the same
     # archive; REPRODUCTION.md is re-rendered from ALL archived JSONs)
-    only_study = sys.argv[sys.argv.index("--only") + 1] if "--only" in sys.argv else None
-    only_kind = (
-        sys.argv[sys.argv.index("--only") + 2]
-        if only_study and len(sys.argv) > sys.argv.index("--only") + 2
-        else None
-    )
+    only_study = only_kind = None
+    if "--only" in sys.argv:
+        i = sys.argv.index("--only")
+        if i + 1 >= len(sys.argv):
+            raise SystemExit("--only requires a study name (and optionally a kind)")
+        only_study = sys.argv[i + 1]
+        only_kind = sys.argv[i + 2] if i + 2 < len(sys.argv) else None
+        matches = [
+            (s, k) for s, k, _ in PLAN
+            if s == only_study and (only_kind is None or k == only_kind)
+        ]
+        if not matches:
+            known = sorted({s for s, _, _ in PLAN})
+            raise SystemExit(
+                f"--only {only_study}{' ' + only_kind if only_kind else ''} "
+                f"matches nothing in the PLAN; studies: {known}"
+            )
 
     for study, kind, kwargs in PLAN:
         if only_study and (study != only_study or (only_kind and kind != only_kind)):

@@ -117,6 +117,13 @@ def test_guide_exponent_sign_follows_ladder_direction():
     assert guide_exponent([4, 8, 16], [1e-3, 2.5e-4, 6e-5], 2.0) == -2.0
     # temporal: levels listed coarse->fine, x=dt decreasing, error decreasing
     assert guide_exponent([1e-2, 5e-3, 2.5e-3], [1e-4, 2.5e-5, 6e-6], 2.0) == 2.0
+    # peaks temporal shape: leading exactly-zero levels (degenerate N=1
+    # grids) must not flip the sign — infer from the last nonzero pair
+    assert guide_exponent(
+        [1.0, 0.5, 0.25, 0.125, 0.0625],
+        [0.0, 0.0, 0.71, 0.32, 0.085],
+        2.0,
+    ) == 2.0
 
 
 def test_plotting_helpers(tmp_path):
