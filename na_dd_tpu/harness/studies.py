@@ -107,9 +107,10 @@ STUDIES: Dict[str, dict] = {
         # Measured (TPU, 2026-08): at the generic tier-8 budget the peaks
         # SPATIAL ladder deviates up to 56% at N=256 with all solves
         # reporting converged (CPU x64 at the same budget is exact to 5e-8,
-        # and budget 16 is exact on TPU too — /tmp bisect, N=128:
-        # 8→2.2e-2, 16→5.7e-8).  The violently-moving-Gaussian case needs
-        # more slack against f64-emulation noise than the smooth cases.
+        # and budget 16 is exact on TPU too — studies/peaks_budget_bisect.py,
+        # N=128: unroll8/analytic 2.2e-2, unroll16/analytic 5.7e-8).  The
+        # violently-moving-Gaussian case needs more slack against the
+        # program-shape-dependent f64-emulation rounding than the smooth ones.
         min_krylov_unroll=16,
     ),
 }
