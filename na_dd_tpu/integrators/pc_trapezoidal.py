@@ -143,10 +143,9 @@ class PCTrapezoidalBase:
         VMEM-resident Pallas kernels (ops/pallas_kernels.py); Mosaic has no
         f64, so "pallas" requires NA_DD_TPU_X64=0 on real TPU.  Defaults from
         the NA_DD_TPU_STENCIL env var; silently used only on the local
-        (single-device) ops path.  Caveat: with the fused solve kernel,
-        ``StepDiagnostics.krylov_iters`` reports the ITERATION BUDGET (an
-        upper bound), not the data-dependent count the jnp solvers report —
-        the in-kernel early-exit flag is not read back."""
+        (single-device) ops path.  The fused solve kernel reports the same
+        effective-iteration diagnostics as the jnp solvers (the in-kernel
+        early-exit counter is read back through an SMEM scalar output)."""
         self.semi_discrete_field = semi_discrete_field
         self._model = semi_discrete_field.model
         self._grid = semi_discrete_field.grid

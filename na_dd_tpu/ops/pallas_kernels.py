@@ -60,7 +60,7 @@ def _shifted(u):
 
 def _make_bicgstab_kernel(iters: int, tol: float):
     def kernel(b_ref, c0_ref, cxm_ref, cxp_ref, cym_ref, cyp_ref,
-               invd_ref, mask_ref, x_ref):
+               invd_ref, mask_ref, x_ref, iters_ref):
         mask = mask_ref[:]
         c0, cxm, cxp, cym, cyp = (
             c0_ref[:], cxm_ref[:], cxp_ref[:], cym_ref[:], cyp_ref[:]
@@ -91,6 +91,7 @@ def _make_bicgstab_kernel(iters: int, tol: float):
         p, v = z, z
         rho = alpha = omega = one
         done = dot(r, r) <= tol_sq
+        iters_used = jnp.asarray(0, jnp.int32)
 
         for _ in range(iters):
             keep = lambda old, new: jnp.where(done, old, new)  # noqa: E731
@@ -121,9 +122,12 @@ def _make_bicgstab_kernel(iters: int, tol: float):
             rho = keep(rho, rho1)
             alpha = keep(alpha, alpha_new)
             omega = keep(omega, omega_new)
+            # pre-update done, matching bicgstab_unrolled's iters_used order
+            iters_used = iters_used + jnp.where(done, 0, 1).astype(jnp.int32)
             done = done | s_conv | breakdown | (dot(r, r) <= tol_sq)
 
         x_ref[:] = x * mask
+        iters_ref[0] = iters_used
 
     return kernel
 
@@ -156,9 +160,10 @@ def bicgstab_solve_pallas(
     for the entire solve, removing the per-iteration HBM boundary of the
     apply-only kernel.
 
-    Returns ``(x, info)``; the residual diagnostics in ``info`` are computed
-    OUTSIDE the kernel from one extra stencil apply (``iters`` in info is the
-    budget — the in-kernel early exit is not read back).
+    Returns ``(x, info)``; ``info["iters"]`` is the in-kernel effective
+    iteration count (an SMEM scalar output, same semantics as
+    ``bicgstab_unrolled``'s ``iters_used``) and the residual diagnostics are
+    computed OUTSIDE the kernel from one extra stencil apply.
     """
     assert fused_solve_fits(b.shape, b.dtype), (
         "bicgstab_solve_pallas is a single-block kernel and this operand "
@@ -171,14 +176,19 @@ def bicgstab_solve_pallas(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES
         )
         spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     else:
         spec = pl.BlockSpec(memory_space=pl.ANY)
+        scalar_spec = pl.BlockSpec(memory_space=pl.ANY)
 
-    x = pl.pallas_call(
+    x, iters_used = pl.pallas_call(
         _make_bicgstab_kernel(int(iters), float(tol)),
-        out_shape=jax.ShapeDtypeStruct(b.shape, b.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct(b.shape, b.dtype),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ],
         in_specs=[spec] * 8,
-        out_specs=spec,
+        out_specs=[spec, scalar_spec],
         interpret=interpret,
         **kwargs,
     )(b, stencil.c0, stencil.cxm, stencil.cxp, stencil.cym, stencil.cyp,
@@ -188,7 +198,7 @@ def bicgstab_solve_pallas(
     rsq = jnp.sum(r * r)
     tol_sq = tol * tol * jnp.sum(b * b)
     return x, {
-        "iters": jnp.asarray(iters),
+        "iters": iters_used[0],
         "resnorm_sq": rsq,
         "converged": rsq <= tol_sq,
     }

@@ -93,6 +93,8 @@ def test_bicgstab_solve_pallas_matches_unrolled():
     )
     assert float(jnp.max(jnp.abs(x_pal - x_true))) < 1e-9
     assert bool(info_pal["converged"])
+    # the in-kernel early-exit counter matches the unrolled solver's
+    assert int(info_pal["iters"]) == int(info_ref["iters"])
 
 
 def test_integrator_pallas_backend_matches_jnp_on_cpu():
