@@ -117,3 +117,23 @@ def test_integrator_pallas_backend_matches_jnp_on_cpu():
         .overall_combined_error
     )
     assert abs(e_pal - e_jnp) <= 1e-10 * abs(e_jnp), (e_jnp, e_pal)
+
+
+def test_vmem_budget_predicates():
+    """The fallback chain (fused solve -> apply-only kernel -> jnp) is driven
+    by these predicates; pin their boundaries so a silent budget change
+    cannot reintroduce the trace-time AssertionError crash at large N."""
+    from na_dd_tpu.ops.pallas_kernels import _VMEM_LIMIT_BYTES, apply_fits, fused_solve_fits
+
+    assert fused_solve_fits((257, 257), jnp.float32)     # the bench level
+    assert apply_fits((257, 257), jnp.float32)
+    # beyond the fused-solve budget but still within the apply budget
+    assert not fused_solve_fits((513, 513), jnp.float32)
+    assert apply_fits((513, 513), jnp.float32)
+    # beyond everything: jnp path
+    assert not apply_fits((1025, 1025), jnp.float32)
+    # exact boundary arithmetic
+    import numpy as np
+    n = int(np.sqrt(_VMEM_LIMIT_BYTES // (4 * 16)))
+    assert fused_solve_fits((n, n), jnp.float32)
+    assert not fused_solve_fits((n + 1, n + 1), jnp.float32)
