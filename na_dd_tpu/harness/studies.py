@@ -212,12 +212,23 @@ def run_spatial_study(
     eta: float = DEFAULT_ETA,
     verbose: bool = True,
     measure_steady: bool = False,
+    parallel_compile: bool = False,
 ) -> dict:
     """Notebook cell 9: N = base_N·2^k ladder with dt = h^1.5.
 
     measure_steady: re-run each level once more after the timed run; the
     second execution hits the in-process jit cache, so its wall-clock is the
     steady (compile-free) per-level time reported as ``steady_s``.
+
+    parallel_compile: dispatch every level's first run from a thread pool
+    BEFORE the serial measurement loop — the backend compiles different
+    programs concurrently (measured on the axon TPU: two fresh study
+    programs compile together in the time of one), so a cold ladder costs
+    ~the slowest single compile instead of the sum of all eight.  The serial
+    loop then re-runs each level warm, so per-level wallclock/steady stay
+    honest.  Numerics are unaffected (each level is its own XLA program;
+    device execution serializes regardless of dispatch order).  The prepass
+    wall-clock is reported as ``parallel_compile_s``.
     """
     cfg = STUDIES[study]
     mc = study_consts(study)
@@ -227,6 +238,7 @@ def run_spatial_study(
     steady: List[float] = []
     Ns: List[int] = []
 
+    ladder = []
     for k in range(levels):
         N = base_N * 2**k
         dt = (1.0 / N) ** 1.5
@@ -235,6 +247,29 @@ def run_spatial_study(
             cfg["case_cls"], N, eta, mc=mc,
             krylov_unroll=_study_unroll(cfg, N, dt, mc, num_steps=nsteps),
         )
+        ladder.append((N, dt, trial))
+
+    parallel_compile_s = None
+    if parallel_compile:
+        import concurrent.futures as cf
+
+        t0 = time.perf_counter()
+        with cf.ThreadPoolExecutor(max_workers=len(ladder)) as ex:
+            futs = [
+                ex.submit(trial.run_for_errors, Tf=Tf, dt=dt)
+                for _N, dt, trial in ladder
+            ]
+            for f in futs:
+                f.result()  # surface any exception
+        parallel_compile_s = time.perf_counter() - t0
+        if verbose:
+            print(
+                f"  [spatial {study}] parallel compile+first-run of "
+                f"{len(ladder)} levels in {parallel_compile_s:.1f}s",
+                flush=True,
+            )
+
+    for N, dt, trial in ladder:
         t0 = time.perf_counter()
         summary = trial.run_for_errors(Tf=Tf, dt=dt)
         elapsed = time.perf_counter() - t0
@@ -258,6 +293,7 @@ def run_spatial_study(
         errors=errors,
         wallclock_s=times,
         steady_s=steady or None,
+        parallel_compile_s=parallel_compile_s,
         rates=[r for r, _ in rates],
         statuses=[s for _, s in rates],
     )
