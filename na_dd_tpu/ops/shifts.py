@@ -18,6 +18,7 @@ Semantics (u is an (N+1, M+1) grid function; out-of-range entries are 0):
     shift_ym(u)[i, j] = u[i, j-1]     (col 0 of the result is 0)
     shift_yp(u)[i, j] = u[i, j+1]     (col M of the result is 0)
     asum(u)           = sum over the *global* array
+    amax(u)           = max over the *global* array
 
 These are exactly the neighbor accesses of the reference's stencil helpers
 (`grid0_fn_ab`, reference src/prob1base.py:1553-1581), restated as primitives.
@@ -46,6 +47,9 @@ class Ops:
     def asum(self, u):  # pragma: no cover - interface
         raise NotImplementedError
 
+    def amax(self, u):  # pragma: no cover - interface
+        raise NotImplementedError
+
 
 def _zeros_row_like(u):
     return jnp.zeros_like(u[:1, :])
@@ -72,6 +76,9 @@ class LocalOps(Ops):
 
     def asum(self, u):
         return jnp.sum(u)
+
+    def amax(self, u):
+        return jnp.max(u)
 
 
 LOCAL_OPS = LocalOps()

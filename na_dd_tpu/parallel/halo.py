@@ -72,9 +72,19 @@ class HaloOps(Ops):
         return jnp.concatenate([u[:, 1:], tail], axis=1)
 
     # -- reductions -------------------------------------------------------
+    def _mesh_axes(self):
+        return tuple(a for a in (self.axis_x, self.axis_y) if a is not None)
+
     def asum(self, u):
         s = jnp.sum(u)
-        axes = tuple(a for a in (self.axis_x, self.axis_y) if a is not None)
+        axes = self._mesh_axes()
         if axes:
             s = jax.lax.psum(s, axes)
         return s
+
+    def amax(self, u):
+        m = jnp.max(u)
+        axes = self._mesh_axes()
+        if axes:
+            m = jax.lax.pmax(m, axes)
+        return m

@@ -40,12 +40,16 @@ def build_sharded_step(integrator, mesh, *, axis_x="x", axis_y=None):
     def raw(g, s, t, dt):
         return _scan_step(integrator, g, hops, s, t, dt)
 
+    # check_vma=True: the static safety net that every P() output really is
+    # mesh-invariant.  All scalar diagnostics are built from ops.asum/amax
+    # (psum/pmax) reductions, so the check passes — and would catch any
+    # future per-shard jnp.all/jnp.max sneaking into a replicated output.
     sharded = jax.shard_map(
         raw,
         mesh=mesh,
         in_specs=(spec, spec, P(), P()),
         out_specs=(spec, P()),
-        check_vma=False,
+        check_vma=True,
     )
     return jax.jit(sharded)
 
@@ -96,6 +100,6 @@ def build_sharded_simulation(
         mesh=mesh,
         in_specs=(spec, spec),
         out_specs=(spec, P()),
-        check_vma=False,
+        check_vma=True,  # see build_sharded_step
     )
     return jax.jit(sharded)

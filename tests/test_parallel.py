@@ -153,3 +153,41 @@ def test_sharded_simulation_matches_local():
         sharded_h = np.concatenate([[float(h0[v])], np.asarray(h_sq[v])])
         # psum-of-partials vs single global sum: summation-order noise only
         np.testing.assert_allclose(sharded_h, local_h, rtol=1e-8, atol=1e-22)
+
+
+def test_sharded_simulation_2d_mesh_matches_local():
+    """Whole-simulation error-series parity on the 4×2 mesh: a y-axis halo
+    bug that only bites after multiple steps would be caught here (the
+    single-step 2-D test above cannot see it)."""
+    from na_dd_tpu.harness import run_simulation_collect_data
+
+    g, model, mms, integ, s0 = _mk(N=7, M=7)  # 8×8 arrays: 4 row × 2 col shards
+    num_steps, dt = 5, 1e-3
+
+    series, _dt_adj = run_simulation_collect_data(
+        grid=g,
+        integrator=integ,
+        exact_sol_pack=mms,
+        initial_state=s0,
+        Tf=num_steps * dt,
+        dt=dt,
+        variable_names=list(State._fields),
+        integral_vars=["T", "cl", "cd"],
+    )
+
+    mesh = make_mesh((4, 2), ("x", "y"))
+    gs, ss = shard_grid_and_state(mesh, g, s0, axis_x="x", axis_y="y")
+    sim = build_sharded_simulation(
+        integ, mesh, mms_case=mms, num_steps=num_steps, t0=0.0, dt=dt,
+        axis_x="x", axis_y="y",
+    )
+    s_final, (h0, g0, ys) = sim(gs, ss)
+    h_sq, grad_sq, small = ys
+    assert bool(np.all(np.asarray(small["hcs_ok"])))
+    for v in State._fields:
+        local_h = series.h_norm_sq_errors[v]
+        sharded_h = np.concatenate([[float(h0[v])], np.asarray(h_sq[v])])
+        np.testing.assert_allclose(sharded_h, local_h, rtol=1e-8, atol=1e-22)
+        local_g = series.grad_h_norm_p_sq_errors[v]
+        sharded_g = np.concatenate([[float(g0[v])], np.asarray(grad_sq[v])])
+        np.testing.assert_allclose(sharded_g, local_g, rtol=1e-8, atol=1e-22)
