@@ -74,6 +74,29 @@ _ESSENTIALLY_ZERO = float(jnp.finfo(jnp.float64).eps) * 100
 AUTO_TPU_KRYLOV_UNROLL = 48
 
 
+def default_krylov_tol(dtype=None) -> float:
+    """Dtype-aware default for ``krylov_tol``.
+
+    The relative residual target must be reachable by the working precision:
+    1e-13 (a few hundred ulp) in f64 — the value the reference-parity goldens
+    were certified against — and 1e-5 (~100·eps) in the f32 production mode.
+    An f32 solve can never reach 1e-13, so a dtype-blind default would make
+    every f32 solve report "missed tolerance" and train users to ignore the
+    one Krylov-convergence warning that matters in f64 runs.
+    """
+    if dtype is None:
+        dtype = jnp.result_type(float)
+    return 1e-13 if jnp.finfo(dtype).bits >= 64 else 1e-5
+
+
+#: Inner-solve relative tolerance for the mixed-precision refinement passes.
+#: ~10·eps(f32): reliably reachable by an f32 BiCGStab on these well-
+#: conditioned systems, so the masked early exit freezes each pass at a
+#: per-pass residual contraction of ~1e-6 (two refinement passes then land
+#: the f64 residual at the 1e-13 parity target).
+MIXED_INNER_TOL = 1e-6
+
+
 def default_krylov_unroll() -> int | None:
     """Platform-aware default for ``krylov_unroll``.
 
@@ -97,7 +120,7 @@ class PCTrapezoidalBase:
         *,
         num_pc_steps: int = 1,
         num_newton_steps: int = 1,
-        krylov_tol: float = 1e-13,
+        krylov_tol: float | None = None,
         krylov_maxiter: int = 300,
         krylov_unroll: int | None | str = "auto",
         krylov_scanned: bool | None = None,
@@ -105,8 +128,15 @@ class PCTrapezoidalBase:
         stencil_source: str = "analytic",
         track_residuals: bool = True,
         stencil_backend: str | None = None,
+        precision: str | None = None,
+        mixed_refine: int = 2,
     ):
-        """krylov_unroll: an int uses the fully-unrolled BiCGStab with that
+        """krylov_tol: relative linear-solve residual target.  None (default)
+        resolves per-trace to the dtype-aware value (1e-13 in f64, 1e-5 in
+        the f32 production mode — see :func:`default_krylov_tol`), so the
+        convergence diagnostics stay meaningful in both modes.
+
+        krylov_unroll: an int uses the fully-unrolled BiCGStab with that
         many straight-line iterations (early-exit masked) instead of the
         while_loop solver — much lower latency per step on TPU; requires the
         system to converge within that budget (all study protocols do).
@@ -145,13 +175,36 @@ class PCTrapezoidalBase:
         the NA_DD_TPU_STENCIL env var; silently used only on the local
         (single-device) ops path.  The fused solve kernel reports the same
         effective-iteration diagnostics as the jnp solvers (the in-kernel
-        early-exit counter is read back through an SMEM scalar output)."""
+        early-exit counter is read back through an SMEM scalar output).
+
+        precision: "full" (default) runs the Newton linear solves at the
+        ambient dtype.  "mixed" keeps the state, field evaluations and
+        right-hand sides in f64 but runs every Krylov iteration in NATIVE
+        f32, wrapped in classical iterative refinement: per solve,
+        ``mixed_refine + 1`` passes of (f64 true residual → f32 inner
+        BiCGStab on the downcast planes → f64 accumulate).  Each pass
+        contracts the f64 residual by the inner tolerance
+        (:data:`MIXED_INNER_TOL`), so two refinement passes reach the f64
+        parity tolerance while the per-iteration work runs at f32 speed —
+        on real TPU this also keeps the whole Krylov loop OUT of the f64-
+        emulation path (the scan-fusion drift mechanism documented in
+        studies/scan_fusion_synthetic_repro.py).  Composes with
+        ``stencil_backend="pallas"``: the f32 inner solves route through the
+        fused VMEM kernels even though the ambient dtype is f64 (Mosaic has
+        no f64 — the refinement wrapper is exactly what makes the kernels
+        usable at reference accuracy).  Requires x64 mode and
+        ``assemble_stencil=True``.  Defaults from the NA_DD_TPU_PRECISION
+        env var ("full"/"mixed")."""
         self.semi_discrete_field = semi_discrete_field
         self._model = semi_discrete_field.model
         self._grid = semi_discrete_field.grid
         self.num_pc_steps = int(num_pc_steps)
         self.num_newton_steps = int(num_newton_steps)
-        self.krylov_tol = float(krylov_tol)
+        # None resolves LAZILY (first read, i.e. trace time) to the
+        # dtype-aware default: jnp.result_type(float) is f64/f32 depending on
+        # the x64 mode ACTIVE WHEN THE PROGRAM IS TRACED, which may be set
+        # after construction (tests toggle jax.enable_x64 contexts).
+        self._krylov_tol = None if krylov_tol is None else float(krylov_tol)
         self.krylov_maxiter = int(krylov_maxiter)
         if isinstance(krylov_unroll, str) and krylov_unroll != "auto":
             raise ValueError(f"krylov_unroll must be an int, None or 'auto'; got {krylov_unroll!r}")
@@ -177,12 +230,33 @@ class PCTrapezoidalBase:
         if stencil_backend not in ("jnp", "pallas"):
             raise ValueError(f"stencil_backend must be 'jnp' or 'pallas'; got {stencil_backend!r}")
         self.stencil_backend = stencil_backend
+        if precision is None:
+            precision = os.environ.get("NA_DD_TPU_PRECISION", "full")
+        if precision not in ("full", "mixed"):
+            raise ValueError(f"precision must be 'full' or 'mixed'; got {precision!r}")
+        if precision == "mixed" and not self.assemble_stencil:
+            raise ValueError("precision='mixed' requires assemble_stencil=True")
+        self.precision = precision
+        self.mixed_refine = int(mixed_refine)
         # measurement flag: probe the 5 stencil planes under one vmap instead
         # of 5 inlined applies (see linsolve.probe_stencil_vmapped)
         self.probe_vmapped = os.environ.get("NA_DD_TPU_PROBE", "") == "vmap"
         # Populated by the eager .step() wrapper for reference-API parity.
         self.last_residual: Dict[str, jax.Array] = {}
         self._jit_step = jax.jit(self.step_fn, static_argnums=1)
+
+    @property
+    def krylov_tol(self) -> float:
+        """Resolved linear-solve tolerance; a None default materializes the
+        dtype-aware value on every read (NOT cached — the x64 mode can be
+        toggled between traces and each trace must see its own precision)."""
+        if self._krylov_tol is None:
+            return default_krylov_tol()
+        return self._krylov_tol
+
+    @krylov_tol.setter
+    def krylov_tol(self, value: float | None) -> None:
+        self._krylov_tol = None if value is None else float(value)
 
     @property
     def krylov_unroll(self) -> int | None:
@@ -276,11 +350,99 @@ class PCTrapezoidalBase:
                 )
             return delta * mask, info
 
+        def solve_f32(st32, b32, inv32, mask32):
+            """One inner f32 BiCGStab pass on downcast planes (mixed mode).
+
+            Routes through the fused Pallas kernels when selected/possible —
+            this is the path that makes the Mosaic (f32-only) kernels usable
+            inside an f64-accurate run."""
+            if self.stencil_backend == "pallas" and ops is LOCAL_OPS:
+                from na_dd_tpu.ops.pallas_kernels import (
+                    apply_fits,
+                    bicgstab_solve_pallas,
+                    fused_solve_fits,
+                    stencil5_apply_pallas,
+                )
+
+                interp = jax.default_backend() == "cpu"
+                if (
+                    self.krylov_unroll is not None
+                    and not self.krylov_scanned
+                    and fused_solve_fits(b32.shape, b32.dtype)
+                ):
+                    return bicgstab_solve_pallas(
+                        st32, b32, inv32, mask32,
+                        tol=MIXED_INNER_TOL, iters=self.krylov_unroll,
+                        interpret=interp,
+                    )
+                if apply_fits(b32.shape, b32.dtype):
+                    matvec32 = lambda w: stencil5_apply_pallas(st32, w, interpret=interp)  # noqa: E731
+                else:
+                    matvec32 = lambda w: st32.apply(ops, w)  # noqa: E731
+            else:
+                matvec32 = lambda w: st32.apply(ops, w)  # noqa: E731
+            dot32 = lambda u, v: ops.asum(u * v)  # noqa: E731
+            minv32 = lambda r: r * inv32  # noqa: E731
+            if self.krylov_unroll is not None:
+                solver = (
+                    linsolve.bicgstab_scanned
+                    if self.krylov_scanned
+                    else linsolve.bicgstab_unrolled
+                )
+                delta, info = solver(
+                    matvec32, b32, jnp.zeros_like(b32), dot=dot32, minv=minv32,
+                    tol=MIXED_INNER_TOL, iters=self.krylov_unroll,
+                )
+            else:
+                delta, info = linsolve.bicgstab(
+                    matvec32, b32, jnp.zeros_like(b32), dot=dot32, minv=minv32,
+                    tol=MIXED_INNER_TOL, maxiter=self.krylov_maxiter,
+                )
+            return delta * mask32, info
+
+        def solve_assembled_mixed(st, rhs, inv_diag):
+            """Iterative refinement: f64 residuals around f32 inner solves.
+
+            Classical mixed-precision refinement (Wilkinson; the standard
+            low-precision-solver/high-precision-residual scheme): x ← x +
+            E(b − A x) with E an approximate f32 inverse (one BiCGStab pass
+            to :data:`MIXED_INNER_TOL`).  Each pass contracts ‖b − A x‖ by
+            ~the inner tolerance, so ``mixed_refine`` passes after the first
+            reach the f64 target while every Krylov iteration runs in native
+            f32 (never touching the TPU f64-emulation path)."""
+            if jnp.finfo(jnp.result_type(float)).bits < 64:
+                raise ValueError(
+                    "precision='mixed' requires x64 mode (the ambient dtype "
+                    "must be f64 for the refinement residuals)"
+                )
+            f32 = jnp.float32
+            st32 = linsolve.Stencil5(*(p.astype(f32) for p in st))
+            inv32 = inv_diag.astype(f32)
+            mask32 = mask.astype(f32)
+            b = rhs * mask
+            x = jnp.zeros_like(b)
+            total_iters = jnp.asarray(0)
+            for k in range(self.mixed_refine + 1):
+                r = b if k == 0 else (b - st.apply(ops, x)) * mask
+                e32, info = solve_f32(st32, r.astype(f32), inv32, mask32)
+                x = x + e32.astype(b.dtype) * mask
+                total_iters = total_iters + info["iters"]
+            r_final = (b - st.apply(ops, x)) * mask
+            rsq = dot(r_final, r_final)
+            tol = self.krylov_tol
+            return x, {
+                "iters": total_iters,
+                "resnorm_sq": rsq,
+                "converged": rsq <= tol * tol * dot(b, b),
+            }
+
         def solve_assembled(st, rhs):
             """Krylov on assembled Newton planes (diag = st.c0 is exact)."""
             inv_diag = jnp.where(
                 mask > 0, 1.0 / jnp.where(st.c0 == 0, 1.0, st.c0), 0.0
             )
+            if self.precision == "mixed":
+                return solve_assembled_mixed(st, rhs, inv_diag)
             if self.stencil_backend == "pallas" and ops is LOCAL_OPS:
                 from na_dd_tpu.ops.pallas_kernels import (
                     apply_fits,
@@ -548,7 +710,10 @@ class PCTrapezoidalHCsTriple(PCTrapezoidalBase):
 
         R1 = (m.Sd - cd1) * (1.0 + cl1) * m.Kd
         del_Y1 = 2.0 - dt * R1
-        ok = jnp.all(del_Y1 >= _ESSENTIALLY_ZERO)
+        # all(del_Y1 >= thr) expressed through the ops reduction so the flag
+        # is the GLOBAL verdict under shard_map (a local jnp.all would be
+        # per-shard, silently missing a positivity failure on another shard)
+        ok = ops.amax(-del_Y1) <= -_ESSENTIALLY_ZERO
 
         Y0 = 2.0 * at_t0.cs + dt * field.Fcs(g, ops, at_t0, t0) + dt * fcs1
         cs1 = jnp.where(
@@ -622,7 +787,7 @@ class PCTrapezoidalRegHCsTriple(PCTrapezoidalBase):
         J = jnp.where(big, J_s, J_o)
         return -f / J
 
-    def _newton_iterations(self, y, a, eta, x0):
+    def _newton_iterations(self, ops, y, a, eta, x0):
         """Vectorized pointwise Newton with the reference's early-exit rule
         (max|dx| below rtol·|x| everywhere; src/prob1base.py:3654-3663).
 
@@ -636,7 +801,14 @@ class PCTrapezoidalRegHCsTriple(PCTrapezoidalBase):
         def newton_update(x):
             dx = self._newton_delta(x, y, a, eta)
             x_new = x + dx
-            done_new = jnp.all(jnp.max(jnp.abs(dx)) < rtol * jnp.abs(x_new))
+            # all_ij(max|dx| < rtol·|x_ij|) ⇔ amax|dx| < rtol·min|x| — same
+            # decision bit-for-bit (multiplication by rtol>0 is monotone),
+            # but phrased as ops reductions so the early exit is GLOBALLY
+            # agreed under shard_map (a per-shard jnp.all would let shards
+            # freeze at different iterations)
+            max_dx = ops.amax(jnp.abs(dx))
+            min_abs_x = -ops.amax(-jnp.abs(x_new))
+            done_new = max_dx < rtol * min_abs_x
             return x_new, done_new
 
         if n <= 16:
@@ -675,5 +847,5 @@ class PCTrapezoidalRegHCsTriple(PCTrapezoidalBase):
             + dt * (fcs0 + fcs1)
         )
         a = dt * m.Kd * (m.Sd - cd1) * (cl1 + 1.0)
-        cs1 = self._newton_iterations(y, a, eta, at_t0.cs)
+        cs1 = self._newton_iterations(ops, y, a, eta, at_t0.cs)
         return cs1 * g.interior_mask, jnp.asarray(True)

@@ -1,0 +1,132 @@
+"""Mixed-precision (f32 Krylov + f64 refinement) parity gates.
+
+precision="mixed" keeps the state/fields/right-hand sides in f64 but runs
+every Krylov iteration in native f32 under classical iterative refinement
+(pc_trapezoidal.solve_assembled_mixed).  The contract: the refined linear
+solves reach the SAME f64 tolerance as the full-f64 path, so the end-to-end
+study error must agree with the f64 parity-certified value to deep-rounding
+level — NOT to the f32 error floor.  (Contrast tests/test_f32_mode.py, where
+the pure-f32 mode is only gated to 10%.)
+"""
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from na_dd_tpu.harness.studies import _make_trial, study_consts
+from na_dd_tpu.mms import cases as mms_cases
+
+
+def _pol_summary(**integ_kwargs):
+    trial = _make_trial(
+        mms_cases.MMSCasePol, 16, 50.0, mc=study_consts("pol"), krylov_unroll=8,
+        **integ_kwargs,
+    )
+    return trial, trial.run_for_errors(Tf=0.01, dt=5e-4)
+
+
+def test_mixed_matches_f64_parity():
+    """End-to-end study error in mixed mode sits on the f64 value (far below
+    the ~1e-2-relative f32 deviation), with every refined solve converged to
+    the f64 tolerance and no Krylov warnings."""
+    _, s64 = _pol_summary()
+    e64 = float(s64.overall_combined_error)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        trial_m, s_m = _pol_summary(precision="mixed")
+    e_m = float(s_m.overall_combined_error)
+
+    assert trial_m.integrator.precision == "mixed"
+    # state stays f64 — only the inner Krylov iterations downcast
+    assert trial_m.initial_state.T.dtype == jnp.float64
+    assert not [w for w in caught if "Krylov" in str(w.message)], (
+        "mixed-mode refined solves must reach the f64 tolerance"
+    )
+    # e64 ~1e-6 at N=16; pure f32 deviates ~1.6e-2 relative (test_f32_mode).
+    # Refined mixed solves must reproduce the f64 trajectory ~exactly.
+    assert abs(e_m - e64) / e64 < 1e-8, f"mixed {e_m} vs f64 {e64}"
+
+
+def test_mixed_with_pallas_kernels_matches_f64():
+    """precision='mixed' + stencil_backend='pallas' — the f32-only Mosaic
+    kernels running INSIDE an f64-accurate run (interpret mode on CPU)."""
+    _, s64 = _pol_summary()
+    e64 = float(s64.overall_combined_error)
+    _, s_mp = _pol_summary(precision="mixed", stencil_backend="pallas")
+    e_mp = float(s_mp.overall_combined_error)
+    assert abs(e_mp - e64) / e64 < 1e-8, f"mixed+pallas {e_mp} vs f64 {e64}"
+
+
+def test_mixed_requires_x64_and_assembled_stencils():
+    from na_dd_tpu.core import FieldRegHCsTriple, MMSForcingRegHCsTriple
+    from na_dd_tpu.integrators import PCTrapezoidalRegHCsTriple
+    from na_dd_tpu.models import Model02
+    from na_dd_tpu.ops import LOCAL_OPS, make_uniform_grid
+
+    grid = make_uniform_grid(8, 8)
+    model = Model02(study_consts("pol"))
+    mms = mms_cases.MMSCasePol(grid, model=model)
+    forcing = MMSForcingRegHCsTriple(
+        mms_case=mms, model=model, regularization_factor=50.0
+    )
+    field = FieldRegHCsTriple(
+        grid=grid, model=model, forcing=forcing, regularization_factor=50.0
+    )
+
+    with pytest.raises(ValueError, match="assemble_stencil"):
+        PCTrapezoidalRegHCsTriple(
+            field, regularization_factor=50.0, precision="mixed",
+            assemble_stencil=False,
+        )
+
+    with pytest.raises(ValueError, match="precision"):
+        PCTrapezoidalRegHCsTriple(
+            field, regularization_factor=50.0, precision="half"
+        )
+
+    integ = PCTrapezoidalRegHCsTriple(
+        field, regularization_factor=50.0, precision="mixed", krylov_unroll=8
+    )
+    from na_dd_tpu.mms.engine import state_from_mms_when
+
+    s0 = state_from_mms_when(mms_case=mms, t=0.0, grid=grid)
+    with jax.enable_x64(False):
+        with pytest.raises(ValueError, match="x64"):
+            # tracing the step materializes the f32 ambient dtype → refuse
+            integ.step_fn(
+                jax.tree.map(lambda a: a.astype(jnp.float32), grid),
+                LOCAL_OPS,
+                jax.tree.map(lambda a: a.astype(jnp.float32), s0),
+                0.0,
+                1e-3,
+            )
+
+
+def test_mixed_iters_diagnostic_counts_all_passes():
+    """The step diagnostics must report the summed inner iterations across
+    refinement passes (3 passes at mixed_refine=2 → strictly more iterations
+    than the single-pass f64 solve)."""
+    from na_dd_tpu.mms.engine import state_from_mms_when
+    from na_dd_tpu.ops import LOCAL_OPS
+
+    def diag_for(**kw):
+        trial = _make_trial(
+            mms_cases.MMSCasePol, 8, 50.0, mc=study_consts("pol"),
+            krylov_unroll=8, **kw,
+        )
+        s0 = state_from_mms_when(
+            mms_case=trial.mms_case, t=0.0, grid=trial.grid
+        )
+        _, diag = trial.integrator.step_fn(
+            trial.grid, LOCAL_OPS, s0, 0.0, 1e-3
+        )
+        return diag
+
+    d64 = diag_for()
+    dm = diag_for(precision="mixed")
+    assert int(dm.krylov_iters) > int(d64.krylov_iters)
+    assert bool(dm.krylov_converged)
