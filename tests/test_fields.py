@@ -143,6 +143,72 @@ def test_linearized_jacobian_matches_fd(grid, model, variant):
         assert np.allclose(jvp, fd, rtol=1e-6, atol=1e-9), f"{comp} wrt {wrt}"
 
 
+@pytest.mark.parametrize("variant", ["cs", "hcs", "reg"])
+@pytest.mark.parametrize("cs_val", [1.0, 1e-12, 0.0, -1e-12, -1.0])
+def test_reaction_derivative_algebra_carries_heaviside_factor(
+    grid, model, variant, cs_val
+):
+    """The F2(cs) factor must propagate into every PARTIAL of the reaction
+    term, not just its value — the per-partial counterpart of the reference's
+    del*_ab_cscd_reaction_ij assertions
+    (reference tests/test_semidiscrete_field_hcs_triple.py:385-542),
+    parametrized over cs ∈ {+, +0, 0, -0, -} and all three variants.
+
+    With constant states and zero forcing the reaction partials are diagonal
+    operators with closed forms (reaction = F2(cs)·(1+cl)·(Sd−cd), a_T=0):
+
+        ∂reaction/∂T  = 0
+        ∂reaction/∂cl = F2(cs)·(Sd−cd)
+        ∂reaction/∂cd = −F2(cs)·(1+cl)
+
+    asserted three ways: through jax.jvp of Fcs/Fcd (the cross-coupling path
+    the Newton rhs uses), and through the analytic ``stencil_dFcd_dcd``
+    diagonal (the production assembled-stencil path)."""
+    from na_dd_tpu.ops.linsolve import diffusion_planes
+    from na_dd_tpu.ops.stencils import Mx, My
+
+    cp, T, cl, cd = 0.3, 0.7, 0.4, 0.9
+    s = _const_state(grid, cp=cp, T=T, cl=cl, cd=cd, cs=cs_val)
+    field = _make_field(variant, grid, model)
+    im = np.asarray(grid.interior_mask)
+    f2 = _f2(variant, cs_val)
+    d_cl = f2 * (MC.Sd - cd)  # ∂reaction/∂cl
+    d_cd = -f2 * (1.0 + cl)  # ∂reaction/∂cd
+
+    rng = np.random.RandomState(23)
+    w = jnp.asarray(rng.rand(*grid.full_shape))
+
+    # Fcs depends on (T, cl, cd) ONLY through the reaction term
+    for wrt, expect_factor in [("T", 0.0), ("cl", -d_cl), ("cd", -d_cd)]:
+        _, jvp = jax.jvp(
+            lambda u: field.Fcs(grid, OPS, s._replace(**{wrt: u}), 0.0),
+            (getattr(s, wrt),),
+            (w,),
+        )
+        assert np.allclose(
+            np.asarray(jvp), expect_factor * np.asarray(w) * im, atol=1e-14
+        ), f"Fcs partial wrt {wrt} lost the H-factor (variant={variant}, cs={cs_val})"
+
+    # Fcd's cl-dependence is reaction-only (Dd depends on cp, T)
+    _, jvp_cd_cl = jax.jvp(
+        lambda u: field.Fcd(grid, OPS, s._replace(cl=u), 0.0), (s.cl,), (w,)
+    )
+    assert np.allclose(np.asarray(jvp_cd_cl), d_cl * np.asarray(w) * im, atol=1e-14)
+
+    # analytic production path: stencil_dFcd_dcd minus the pure-diffusion
+    # planes must leave exactly the reaction-derivative diagonal
+    st = field.stencil_dFcd_dcd(grid, OPS, s)
+    Dd_x = model.Dd(Mx(OPS, grid, s.cp), Mx(OPS, grid, s.T))
+    Dd_y = model.Dd(My(OPS, grid, s.cp), My(OPS, grid, s.T))
+    L = diffusion_planes(grid, OPS, Dd_x, Dd_y)
+    dreac = np.asarray(st.c0) - np.asarray(L.c0)
+    assert np.allclose(dreac, d_cd * im, atol=1e-14), (
+        f"stencil_dFcd_dcd diagonal lost the H-factor (variant={variant}, cs={cs_val})"
+    )
+    for plane in ("cxm", "cxp", "cym", "cyp"):
+        assert np.array_equal(np.asarray(getattr(st, plane)), np.asarray(getattr(L, plane)))
+
+
 def test_jacobian_diag_constant_state_closed_form(grid, model):
     """Probed diagonal of dFcd/dcd at a constant state == analytic value:
     -2 Dd (1/h² + 1/k²) - Kd H_eta(cs)(1+cl) on the interior."""
