@@ -362,6 +362,7 @@ class PCTrapezoidalBase:
                     bicgstab_solve_pallas,
                     fused_solve_fits,
                     stencil5_apply_pallas,
+                    stencil5_apply_tiled,
                 )
 
                 interp = jax.default_backend() == "cpu"
@@ -378,7 +379,8 @@ class PCTrapezoidalBase:
                 if apply_fits(b32.shape, b32.dtype):
                     matvec32 = lambda w: stencil5_apply_pallas(st32, w, interpret=interp)  # noqa: E731
                 else:
-                    matvec32 = lambda w: st32.apply(ops, w)  # noqa: E731
+                    # beyond the single-block budget: row-tiled grid kernel
+                    matvec32 = lambda w: stencil5_apply_tiled(st32, w, interpret=interp)  # noqa: E731
             else:
                 matvec32 = lambda w: st32.apply(ops, w)  # noqa: E731
             dot32 = lambda u, v: ops.asum(u * v)  # noqa: E731
@@ -449,6 +451,7 @@ class PCTrapezoidalBase:
                     bicgstab_solve_pallas,
                     fused_solve_fits,
                     stencil5_apply_pallas,
+                    stencil5_apply_tiled,
                 )
 
                 # on CPU the kernels run in interpret mode, so the pallas
@@ -478,8 +481,9 @@ class PCTrapezoidalBase:
                 if apply_fits(rhs.shape, rhs.dtype):
                     matvec = lambda w: stencil5_apply_pallas(st, w, interpret=interp)  # noqa: E731
                 else:
-                    # beyond even the apply kernel's VMEM budget: jnp path
-                    matvec = lambda w: st.apply(ops, w)  # noqa: E731
+                    # beyond the single-block VMEM budget: row-tiled grid
+                    # kernel (N >= ~1024 f32 stays on the Pallas path)
+                    matvec = lambda w: stencil5_apply_tiled(st, w, interpret=interp)  # noqa: E731
             else:
                 matvec = lambda w: st.apply(ops, w)  # noqa: E731
             return krylov(matvec, rhs, inv_diag)

@@ -204,6 +204,102 @@ def bicgstab_solve_pallas(
     }
 
 
+def _pick_row_tile(shape, dtype, live_planes: int = 7) -> int:
+    """Largest power-of-two row-tile whose working set (``live_planes``
+    row-blocks at padded lane width) fits the VMEM budget; minimum 8 (the
+    f32 sublane tile)."""
+    import numpy as np
+
+    rows, cols = shape
+    cols_padded = -(-cols // 128) * 128
+    itemsize = np.dtype(dtype).itemsize
+    tile = 512
+    while tile > 8 and tile * cols_padded * itemsize * live_planes > _VMEM_LIMIT_BYTES:
+        tile //= 2
+    return tile
+
+
+def _make_stencil5_tiled_kernel(R: int, T: int):
+    """Row-tiled stencil kernel body.  Each program owns rows
+    [i·T, (i+1)·T); the x-shift halos arrive as two single-row blocks (the
+    last row of the block above, the first row of the block below), fetched
+    by block-index maps — no manual DMA, and u itself is read exactly once.
+
+    The ragged last block (R is N+1, never a tile multiple) is handled by
+    zero-masking u's out-of-range rows on load: Mosaic's block padding is
+    undefined data, and 0·garbage would still poison the last valid row
+    through the in-block x-shift if the garbage were inf/NaN."""
+
+    def kernel(u_ref, up_ref, dn_ref, c0_ref, cxm_ref, cxp_ref, cym_ref,
+               cyp_ref, out_ref):
+        i = pl.program_id(0)
+        row0 = i * T
+        u = u_ref[:]
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0) + row0
+        u = jnp.where(row_ids < R, u, 0.0)
+        # halo rows (zero-inflow outside the grid, exactly the shift-op
+        # semantics of the single-block kernel)
+        up = jnp.where(i > 0, up_ref[:], 0.0)
+        dn = jnp.where(row0 + T <= R - 1, dn_ref[:], 0.0)
+        u_xm = jnp.concatenate([up, u[:-1, :]], axis=0)
+        u_xp = jnp.concatenate([u[1:, :], dn], axis=0)
+        zcol = jnp.zeros_like(u[:, :1])
+        u_ym = jnp.concatenate([zcol, u[:, :-1]], axis=1)
+        u_yp = jnp.concatenate([u[:, 1:], zcol], axis=1)
+        out_ref[:] = (
+            c0_ref[:] * u
+            + cxm_ref[:] * u_xm
+            + cxp_ref[:] * u_xp
+            + cym_ref[:] * u_ym
+            + cyp_ref[:] * u_yp
+        )
+
+    return kernel
+
+
+def stencil5_apply_tiled(stencil, u, *, row_tile: int | None = None,
+                         interpret: bool = False):
+    """Row-tiled :func:`stencil5_apply_pallas` for operands beyond the
+    single-block VMEM budget (N ≥ ~1024 f32).
+
+    Grid over row-blocks of ``row_tile`` rows; per program the five
+    coefficient tiles + the operand tile live in VMEM while the two x-halo
+    rows are fetched as (1, W) blocks from the neighbouring row-blocks.
+    Bit-identical to the single-block kernel / ``stencil.apply(LOCAL_OPS,·)``
+    (same FMA order), any problem size."""
+    R, W = u.shape
+    T = row_tile or _pick_row_tile(u.shape, u.dtype)
+    grid = (-(-R // T),)
+
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        )
+        space = pltpu.VMEM
+    else:
+        space = pl.ANY if not interpret else None
+
+    def row_spec(block_rows, index_map):
+        if space is None:
+            return pl.BlockSpec((block_rows, W), index_map)
+        return pl.BlockSpec((block_rows, W), index_map, memory_space=space)
+
+    tile_spec = row_spec(T, lambda i: (i, 0))
+    up_spec = row_spec(1, lambda i: (jnp.maximum(i * T - 1, 0), 0))
+    dn_spec = row_spec(1, lambda i: (jnp.minimum((i + 1) * T, R - 1), 0))
+
+    return pl.pallas_call(
+        _make_stencil5_tiled_kernel(R, T),
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
+        in_specs=[tile_spec, up_spec, dn_spec] + [tile_spec] * 5,
+        out_specs=tile_spec,
+        interpret=interpret,
+        **kwargs,
+    )(u, u, u, stencil.c0, stencil.cxm, stencil.cxp, stencil.cym, stencil.cyp)
+
+
 def stencil5_apply_pallas(stencil, u, *, interpret: bool = False):
     """out[ij] = c0·u[ij] + cxm·u[i-1,j] + cxp·u[i+1,j] + cym·u[i,j-1]
     + cyp·u[i,j+1] as one fused VMEM-resident kernel.

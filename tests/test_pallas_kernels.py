@@ -137,3 +137,50 @@ def test_vmem_budget_predicates():
     n = int(np.sqrt(_VMEM_LIMIT_BYTES // (4 * 16)))
     assert fused_solve_fits((n, n), jnp.float32)
     assert not fused_solve_fits((n + 1, n + 1), jnp.float32)
+
+
+def test_stencil5_tiled_matches_jnp_ragged_and_exact():
+    """Row-tiled grid kernel == Stencil5.apply for ragged (R % T != 0) and
+    tile-exact row counts, at several tile sizes including T=1-block edge
+    programs (first/last halo zeroing)."""
+    from na_dd_tpu.ops.pallas_kernels import stencil5_apply_tiled
+
+    rng = np.random.RandomState(7)
+    for shape, tiles in [((33, 33), [8, 16, 32]), ((40, 17), [8, 40]),
+                         ((9, 129), [8])]:
+        st = _random_stencil(shape, rng, jnp.float64)
+        u = jnp.asarray(rng.rand(*shape))
+        ref = np.asarray(st.apply(LOCAL_OPS, u))
+        for T in tiles:
+            out = stencil5_apply_tiled(st, u, row_tile=T, interpret=True)
+            np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-14,
+                                       err_msg=f"shape={shape} T={T}")
+
+
+def test_stencil5_tiled_auto_tile_pick():
+    """_pick_row_tile respects the VMEM budget and the tiled apply engages
+    (and is exact) at a shape beyond the single-block predicate."""
+    from na_dd_tpu.ops.pallas_kernels import (
+        _VMEM_LIMIT_BYTES,
+        _pick_row_tile,
+        apply_fits,
+        stencil5_apply_tiled,
+    )
+
+    # N=1024 f32 exceeds the single-block budget -> the integrator routes to
+    # the tiled kernel; its auto tile must fit 7 row-blocks in VMEM
+    big = (1025, 1025)
+    assert not apply_fits(big, jnp.float32)
+    T = _pick_row_tile(big, jnp.float32)
+    cols_padded = -(-1025 // 128) * 128
+    assert T >= 8 and T * cols_padded * 4 * 7 <= _VMEM_LIMIT_BYTES
+
+    # numerically exact at a (cheap) ragged shape with the auto tile
+    rng = np.random.RandomState(8)
+    shape = (129, 65)
+    st = _random_stencil(shape, rng, jnp.float32)
+    u = jnp.asarray(rng.rand(*shape), dtype=jnp.float32)
+    out = stencil5_apply_tiled(st, u, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(st.apply(LOCAL_OPS, u)), rtol=1e-6
+    )
