@@ -47,7 +47,13 @@ from na_dd_tpu.core.state import State, heaviside_regularized
 from na_dd_tpu.models.coefficients import Model01
 from na_dd_tpu.ops.grid import Grid
 from na_dd_tpu.ops.shifts import Ops
-from na_dd_tpu.ops.linsolve import Stencil5, advection_planes, diffusion_planes, stencil_add_diag
+from na_dd_tpu.ops.linsolve import (
+    Stencil5,
+    advection_planes,
+    diffusion_planes,
+    midpoint_coupling_planes,
+    stencil_add_diag,
+)
 from na_dd_tpu.ops.stencils import Dx_reg, Dx_star, Dy_reg, Dy_star, Mx, My
 
 
@@ -193,6 +199,64 @@ class Field01Base:
             * g.interior_mask
         )
         return stencil_add_diag(L, dreac)
+
+    # --- analytic CROSS-coupling Jacobian stencils ----------------------
+    # The triangular Newton sweep needs the actions dFcl/dT, dFcd/dT and
+    # dFcd/dcl on the preceding solves' increments (reference
+    # src/prob1base.py:3047-3115 assembles them as del*_ab_F*_ij tables).
+    # Like the self-Jacobians above they are state-dependent distance-1
+    # operators with closed forms; having them as planes (instead of
+    # jax.jvp passes) lets the whole sweep become stencil algebra — the
+    # enabler for the fused triple-solve Pallas kernel.  Cross-validated
+    # against jax.jvp in tests/test_analytic_stencils.py.
+    def stencil_dFcl_dT(self, g: Grid, ops: Ops, s: State) -> Stencil5:
+        """∂Fcl/∂T·w = −D*_x(M_x(V1'(T)(cl+1)·w)) − D*_y(M_y(V2'(T)(cl+1)·w)):
+        Fcl depends on T only through the advection velocity (Dl is a
+        function of cp alone), so this is :func:`advection_planes` with
+        b = V'(T)·(cl+1)."""
+        m = self.model
+        return advection_planes(
+            g, ops, m.V1(s.T, d=1) * (s.cl + 1.0), m.V2(s.T, d=1) * (s.cl + 1.0)
+        )
+
+    def stencil_dFcd_dT(self, g: Grid, ops: Ops, s: State) -> Stencil5:
+        """∂Fcd/∂T·w = D*_x(∂_T Dd(M cp, M T)·D₋x cd ⊙ M_x w) + (y) +
+        a_T·[reaction factor]·w: the diffusion coefficient's T-derivative in
+        midpoint-coupling form, plus the (a_T = 0 in this model family)
+        reaction diagonal."""
+        m = self.model
+        ax = m.Dd(Mx(ops, g, s.cp), Mx(ops, g, s.T), d=(0, 1)) * Dx_reg(ops, g, s.cd)
+        ay = m.Dd(My(ops, g, s.cp), My(ops, g, s.T), d=(0, 1)) * Dy_reg(ops, g, s.cd)
+        st = midpoint_coupling_planes(g, ops, ax, ay)
+        a_T, _b_T = self.cscd_reaction_T()
+        if a_T == 0.0:
+            return st
+        a_cl, b_cl = self.cscd_reaction_cl()
+        a_cd, b_cd = self.cscd_reaction_cd()
+        dreac = (
+            self.cscd_reaction_cp(s.cp)
+            * a_T
+            * (a_cl * s.cl + b_cl)
+            * (a_cd * s.cd + b_cd)
+            * self.cscd_reaction_cs(s.cs)
+            * g.interior_mask
+        )
+        return stencil_add_diag(st, dreac)
+
+    def diag_dFcd_dcl(self, g: Grid, s: State):
+        """∂Fcd/∂cl is purely diagonal: the reaction's cl-factor derivative
+        (the diffusion coefficients never see cl)."""
+        a_T, b_T = self.cscd_reaction_T()
+        a_cl, _b_cl = self.cscd_reaction_cl()
+        a_cd, b_cd = self.cscd_reaction_cd()
+        return (
+            self.cscd_reaction_cp(s.cp)
+            * (a_T * s.T + b_T)
+            * a_cl
+            * (a_cd * s.cd + b_cd)
+            * self.cscd_reaction_cs(s.cs)
+            * g.interior_mask
+        )
 
     def all_fields(self, g: Grid, ops: Ops, s: State, t) -> State:
         """All five RHS components as a State pytree (one fused evaluation)."""

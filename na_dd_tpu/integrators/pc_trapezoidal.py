@@ -130,6 +130,7 @@ class PCTrapezoidalBase:
         stencil_backend: str | None = None,
         precision: str | None = None,
         mixed_refine: int = 2,
+        coupling_source: str | None = None,
     ):
         """krylov_tol: relative linear-solve residual target.  None (default)
         resolves per-trace to the dtype-aware value (1e-13 in f64, 1e-5 in
@@ -194,7 +195,17 @@ class PCTrapezoidalBase:
         no f64 — the refinement wrapper is exactly what makes the kernels
         usable at reference accuracy).  Requires x64 mode and
         ``assemble_stencil=True``.  Defaults from the NA_DD_TPU_PRECISION
-        env var ("full"/"mixed")."""
+        env var ("full"/"mixed").
+
+        coupling_source: how the Newton rhs cross-coupling terms
+        (dFcl/dT·δT, dFcd/dT·δT + dFcd/dcl·δcl) are computed in the
+        analytic-stencil path.  "jvp" (default) runs one fused ``jax.jvp``
+        pass per solve — primal + tangent of the full field graph.
+        "analytic" evaluates only the primal and applies the closed-form
+        coupling planes (``Field01Base.stencil_dFcl_dT`` /
+        ``stencil_dFcd_dT`` / ``diag_dFcd_dcl``) — the whole sweep becomes
+        stencil algebra (same exact operator; agreement to rounding,
+        tests/test_analytic_stencils.py).  Defaults from NA_DD_TPU_COUPLING."""
         self.semi_discrete_field = semi_discrete_field
         self._model = semi_discrete_field.model
         self._grid = semi_discrete_field.grid
@@ -238,6 +249,13 @@ class PCTrapezoidalBase:
             raise ValueError("precision='mixed' requires assemble_stencil=True")
         self.precision = precision
         self.mixed_refine = int(mixed_refine)
+        if coupling_source is None:
+            coupling_source = os.environ.get("NA_DD_TPU_COUPLING", "jvp")
+        if coupling_source not in ("jvp", "analytic"):
+            raise ValueError(
+                f"coupling_source must be 'jvp' or 'analytic'; got {coupling_source!r}"
+            )
+        self.coupling_source = coupling_source
         # measurement flag: probe the 5 stencil planes under one vmap instead
         # of 5 inlined applies (see linsolve.probe_stencil_vmapped)
         self.probe_vmapped = os.environ.get("NA_DD_TPU_PROBE", "") == "vmap"
@@ -523,10 +541,15 @@ class PCTrapezoidalBase:
         # --- cl (reference newton_step_cl, src/prob1base.py:3047-3080) ---
         wT = (T1 - s.T) * mask
         if analytic:
-            # primal + the T-coupling JVP in one jvp pass; planes analytic
-            fcl0, jvp_cl_T = jax.jvp(
-                lambda T: field.Fcl(g, ops, s._replace(T=T), t1), (s.T,), (wT,)
-            )
+            if self.coupling_source == "analytic":
+                # primal only; the T-coupling is a closed-form plane apply
+                fcl0 = field.Fcl(g, ops, s, t1)
+                jvp_cl_T = field.stencil_dFcl_dT(g, ops, s).apply(ops, wT)
+            else:
+                # primal + the T-coupling JVP in one jvp pass
+                fcl0, jvp_cl_T = jax.jvp(
+                    lambda T: field.Fcl(g, ops, s._replace(T=T), t1), (s.T,), (wT,)
+                )
             J_cl = linsolve.newton_planes(g, ops, field.stencil_dFcl_dcl(g, ops, s), dt)
             rhs_cl = Ycl0 - 2.0 * s.cl + dt * fcl0 + dt * jvp_cl_T
             dcl, info_cl = solve_assembled(J_cl, rhs_cl)
@@ -543,11 +566,17 @@ class PCTrapezoidalBase:
         # --- cd (reference newton_step_cd, src/prob1base.py:3082-3115) ---
         wcl = (cl1 - s.cl) * mask
         if analytic:
-            fcd0, jvp_cd_Tcl = jax.jvp(
-                lambda T, cl: field.Fcd(g, ops, s._replace(T=T, cl=cl), t1),
-                (s.T, s.cl),
-                (wT, wcl),
-            )
+            if self.coupling_source == "analytic":
+                fcd0 = field.Fcd(g, ops, s, t1)
+                jvp_cd_Tcl = field.stencil_dFcd_dT(g, ops, s).apply(
+                    ops, wT
+                ) + field.diag_dFcd_dcl(g, s) * wcl
+            else:
+                fcd0, jvp_cd_Tcl = jax.jvp(
+                    lambda T, cl: field.Fcd(g, ops, s._replace(T=T, cl=cl), t1),
+                    (s.T, s.cl),
+                    (wT, wcl),
+                )
             J_cd = linsolve.newton_planes(g, ops, field.stencil_dFcd_dcd(g, ops, s), dt)
             rhs_cd = Ycd0 - 2.0 * s.cd + dt * fcd0 + dt * jvp_cd_Tcl
             dcd, info_cd = solve_assembled(J_cd, rhs_cd)

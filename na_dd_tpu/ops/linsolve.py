@@ -203,6 +203,30 @@ def advection_planes(g: Grid, ops: Ops, bx, by) -> Stencil5:
     return Stencil5(c0=c0x + c0y, cxm=cxm, cxp=cxp, cym=cym, cyp=cyp)
 
 
+def midpoint_coupling_planes(g: Grid, ops: Ops, ax, ay) -> Stencil5:
+    """Exact stencil planes of w ↦ D*_x(ax ⊙ M_x w) + D*_y(ay ⊙ M_y w).
+
+    The coefficient sits OUTSIDE the midpoint average (contrast
+    :func:`advection_planes`, where it sits inside) — the structure of a
+    diffusion coefficient's state-derivative: d/dT[D*_x(Dd(M T)·D₋x u)]·w =
+    D*_x(∂_T Dd · D₋x u ⊙ M_x w).  From the operator definitions
+    (ops/stencils.py:26-47):
+
+        cxp[i] = ax[i+1]·mask_x1[i+1] / (2 h_{i+1/2})
+        cxm[i] = -ax[i]·mask_x1[i]    / (2 h_{i+1/2})
+        c0     = (cxp + cxm) + (cyp + cym)
+    """
+    half_x = 0.5 * g.inv_hh_phalf
+    half_y = 0.5 * g.inv_kk_phalf
+    axm = ax * g.mask_x1
+    aym = ay * g.mask_y1
+    cxp = half_x * ops.shift_xp(axm)
+    cxm = -half_x * axm
+    cyp = half_y * ops.shift_yp(aym)
+    cym = -half_y * aym
+    return Stencil5(c0=(cxp + cxm) + (cyp + cym), cxm=cxm, cxp=cxp, cym=cym, cyp=cyp)
+
+
 def newton_planes(g: Grid, ops: Ops, L: Stencil5, dt) -> Stencil5:
     """Planes of the interior Newton operator w ↦ m·(2(w·m) − dt·m·L(w·m))
     with m = interior_mask — exactly what :func:`probe_stencil` extracts from

@@ -134,3 +134,67 @@ def test_analytic_under_jit_and_apply():
 
     pa, pb = both(s, w)
     np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-12, atol=1e-14)
+
+
+@pytest.mark.parametrize("variant", ["cs", "hcs", "reg"])
+@pytest.mark.parametrize("gridkind", ["uniform", "nonuniform"])
+def test_analytic_cross_couplings_match_jvp(variant, gridkind):
+    """The cross-coupling planes (dFcl/dT, dFcd/dT, dFcd/dcl) act exactly as
+    jax.jvp of the fields on the interior — the contract that lets the
+    Newton rhs coupling terms be plane applications (and the whole sweep
+    pure stencil algebra) instead of jvp passes."""
+    g = _grids()[gridkind]
+    ops = LOCAL_OPS
+    model = Model02(default_model_consts)
+    field = _field(variant, g, model)
+    rng = np.random.default_rng(SEED + 3)
+    s = _random_state(g, rng)
+    w = jnp.asarray(rng.standard_normal(g.xx.shape)) * g.interior_mask
+    t1 = 0.37
+    mask = np.asarray(g.interior_mask)
+
+    cases = {
+        "dFcl_dT": (
+            lambda: field.stencil_dFcl_dT(g, ops, s).apply(ops, w),
+            lambda u: field.Fcl(g, ops, s._replace(T=u), t1),
+            s.T,
+        ),
+        "dFcd_dT": (
+            lambda: field.stencil_dFcd_dT(g, ops, s).apply(ops, w),
+            lambda u: field.Fcd(g, ops, s._replace(T=u), t1),
+            s.T,
+        ),
+        "dFcd_dcl": (
+            lambda: field.diag_dFcd_dcl(g, s) * w,
+            lambda u: field.Fcd(g, ops, s._replace(cl=u), t1),
+            s.cl,
+        ),
+    }
+    for name, (plane_fn, resid, u0) in cases.items():
+        _, jvp = jax.jvp(resid, (u0,), (w,))
+        # the fields mask their stencil part with interior_mask; the planes
+        # are unmasked (consumers mask the rhs) -> compare on the interior
+        np.testing.assert_allclose(
+            np.asarray(plane_fn()) * mask,
+            np.asarray(jvp) * mask,
+            rtol=1e-12,
+            atol=1e-15,
+            err_msg=f"{variant}/{gridkind}/{name}",
+        )
+
+
+def test_coupling_source_analytic_end_to_end_parity():
+    """coupling_source='analytic' reproduces the jvp-coupling study error to
+    rounding (same exact operators, different evaluation order)."""
+    from na_dd_tpu.harness.studies import _make_trial, study_consts
+    from na_dd_tpu.mms.cases import MMSCasePol
+
+    def run(**kw):
+        trial = _make_trial(
+            MMSCasePol, 16, 50.0, mc=study_consts("pol"), krylov_unroll=8, **kw
+        )
+        return float(trial.run_for_errors(Tf=0.01, dt=5e-4).overall_combined_error)
+
+    e_jvp = run()
+    e_pl = run(coupling_source="analytic")
+    np.testing.assert_allclose(e_pl, e_jvp, rtol=1e-9)
