@@ -4,54 +4,85 @@ Reference baseline (BASELINE.md): the MMSCasePol reghcstriple convergence
 study's N=256 spatial level (Tf=0.01, dt=h^1.5, eta=50) took **280.4 s** on
 the author's CPU (serial NumPy/SciPy, saved notebook output).  This script
 runs the same level — identical protocol, identical error functional — as one
-fused XLA program and reports wall-clock (excluding one-time jit compile,
-which is printed to stderr).
+fused XLA program, in EVERY production mode, and reports wall-clock
+(excluding one-time jit compile, which is printed to stderr).
+
+Modes (each in its own subprocess — x64/backend selection is process-global
+and only one process may hold the TPU at a time):
+
+* ``f64``        — the reference-parity mode (error must sit on the
+                   reference's 4.38e-9); its steady time is the headline
+                   ``value`` for baseline continuity across rounds.
+* ``f32``        — the f32 production mode (NA_DD_TPU_X64=0).
+* ``f32_pallas`` — f32 + the fused in-VMEM Pallas solve kernels
+                   (NA_DD_TPU_STENCIL=pallas).
 
 Prints ONE JSON line:
-    {"metric": "mmscasepol_spatial_N256_wallclock", "value": <s>,
-     "unit": "s", "vs_baseline": <baseline/value>}
+    {"metric": "mmscasepol_spatial_N256_wallclock", "value": <f64 s>,
+     "unit": "s", "vs_baseline": <baseline/value>, "f64_error": ...,
+     "f32_s": ..., "f32_vs_baseline": ..., "f32_error": ...,
+     "f32_pallas_s": ..., "f32_pallas_vs_baseline": ..., "f32_pallas_error": ...}
+
+``python bench.py --single`` runs just the mode selected by the current
+NA_DD_TPU_X64 / NA_DD_TPU_STENCIL environment (the round-2 behaviour);
+BENCH_MODES=f64,f32 restricts the orchestrated set.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-import jax
+BASELINE_S_FALLBACK = 280.4
 
-from na_dd_tpu.config import enable_persistent_compilation_cache, setup_x64
-
-setup_x64()  # f64 by default; NA_DD_TPU_X64=0 selects the f32 production mode
-enable_persistent_compilation_cache()
-
-X64 = os.environ.get("NA_DD_TPU_X64", "1") != "0"
-STENCIL_BACKEND = os.environ.get("NA_DD_TPU_STENCIL", "jnp")
-
-from na_dd_tpu.core import FieldRegHCsTriple, MMSForcingRegHCsTriple
-from na_dd_tpu.harness import MMSTrial
-from na_dd_tpu.integrators import PCTrapezoidalRegHCsTriple
-from na_dd_tpu.mms.cases import MMSCasePol
-from na_dd_tpu.models import Model02
-from na_dd_tpu.ops import make_uniform_grid
-
-# Single source of truth for the protocol: the pol study's model constants
-# (harness/studies.py POL_PEAKS_CONSTS — reference notebook cell 3 of
-# MMSCasePol_reghcstriple_convergence_study.ipynb) and the notebook's saved
-# finest-level error/wall-clock (studies/reference_values.py).
-from na_dd_tpu.harness.studies import POL_PEAKS_CONSTS as STUDY_MC
-from studies.reference_values import REFERENCE_ERRORS, REFERENCE_FINEST_WALLCLOCK
-
-BASELINE_S = REFERENCE_FINEST_WALLCLOCK[("pol", "spatial")]  # 280.4
-REFERENCE_ERROR = REFERENCE_ERRORS[("pol", "spatial")][-1]  # 4.38284e-9 at N=256
+MODES = {
+    "f64": {"NA_DD_TPU_X64": "1", "NA_DD_TPU_STENCIL": "jnp",
+            "NA_DD_TPU_PRECISION": "full"},
+    "f32": {"NA_DD_TPU_X64": "0", "NA_DD_TPU_STENCIL": "jnp",
+            "NA_DD_TPU_PRECISION": "full"},
+    "f32_pallas": {"NA_DD_TPU_X64": "0", "NA_DD_TPU_STENCIL": "pallas",
+                   "NA_DD_TPU_PRECISION": "full"},
+    # f64-accuracy modes with every Krylov iteration in native f32
+    # (iterative refinement; see integrators/pc_trapezoidal.py precision=)
+    "mixed": {"NA_DD_TPU_X64": "1", "NA_DD_TPU_STENCIL": "jnp",
+              "NA_DD_TPU_PRECISION": "mixed"},
+    "mixed_pallas": {"NA_DD_TPU_X64": "1", "NA_DD_TPU_STENCIL": "pallas",
+                     "NA_DD_TPU_PRECISION": "mixed"},
+}
 
 
-def main():
+def run_single():
+    """Run the benchmark level in the mode selected by the environment and
+    print one JSON line (metric/value/vs_baseline/error)."""
+    import jax
+
+    from na_dd_tpu.config import enable_persistent_compilation_cache, setup_x64
+
+    setup_x64()  # f64 by default; NA_DD_TPU_X64=0 selects the f32 mode
+    enable_persistent_compilation_cache()
+
+    x64 = os.environ.get("NA_DD_TPU_X64", "1") != "0"
+    stencil_backend = os.environ.get("NA_DD_TPU_STENCIL", "jnp")
+    precision = os.environ.get("NA_DD_TPU_PRECISION", "full")
+
+    from na_dd_tpu.core import FieldRegHCsTriple, MMSForcingRegHCsTriple
+    from na_dd_tpu.harness import MMSTrial
+    from na_dd_tpu.harness.studies import POL_PEAKS_CONSTS as STUDY_MC
+    from na_dd_tpu.harness.studies import choose_krylov_unroll
+    from na_dd_tpu.integrators import PCTrapezoidalRegHCsTriple
+    from na_dd_tpu.mms.cases import MMSCasePol
+    from na_dd_tpu.models import Model02
+    from na_dd_tpu.ops import make_uniform_grid
+    from studies.reference_values import REFERENCE_ERRORS, REFERENCE_FINEST_WALLCLOCK
+
+    baseline_s = REFERENCE_FINEST_WALLCLOCK[("pol", "spatial")]  # 280.4
+    reference_error = REFERENCE_ERRORS[("pol", "spatial")][-1]  # 4.38284e-9
+
     N = int(os.environ.get("BENCH_N", "256"))
     eta = 50.0
     Tf = 0.01
     dt = (1.0 / N) ** 1.5
-
-    from na_dd_tpu.harness.studies import choose_krylov_unroll
 
     unroll = choose_krylov_unroll(N, dt, STUDY_MC)
     model = Model02(STUDY_MC)
@@ -80,30 +111,90 @@ def main():
     steady = time.perf_counter() - t0
 
     err = summary.overall_combined_error
-    mode = ("f64" if X64 else "f32") + ("" if STENCIL_BACKEND == "jnp" else f"+{STENCIL_BACKEND}")
+    mode = (
+        ("f64" if x64 else "f32")
+        + ("" if stencil_backend == "jnp" else f"+{stencil_backend}")
+        + ("" if precision == "full" else f"+{precision}")
+    )
     print(
         f"[bench] N={N} dt={dt:.3e} steps={round(Tf/summary.dt_used)} mode={mode} "
         f"first(compile+run)={first:.2f}s steady={steady:.3f}s "
-        f"error={err:.4e} (reference {REFERENCE_ERROR:.2e}) "
+        f"error={err:.4e} (reference {reference_error:.2e}) "
         f"device={jax.devices()[0]}",
         file=sys.stderr,
     )
     # f64 must sit on the reference error; f32 floats on its own ~1e-7 floor.
-    if X64 and N == 256 and not (err < 5 * REFERENCE_ERROR):
-        print(f"[bench] WARNING: error {err} off reference {REFERENCE_ERROR}", file=sys.stderr)
+    if x64 and N == 256 and not (err < 5 * reference_error):
+        print(f"[bench] WARNING: error {err} off reference {reference_error}", file=sys.stderr)
 
-    metric = "mmscasepol_spatial_N256_wallclock" + ("" if X64 else "_f32")
+    metric = "mmscasepol_spatial_N256_wallclock" + ("" if x64 else "_f32")
     print(
         json.dumps(
             {
                 "metric": metric,
                 "value": round(steady, 4),
                 "unit": "s",
-                "vs_baseline": round(BASELINE_S / steady, 2),
+                "vs_baseline": round(baseline_s / steady, 2),
+                "error": err,
             }
         )
     )
 
 
+def main():
+    """Orchestrate one subprocess per mode and merge into ONE JSON line.
+
+    This process never imports jax (the TPU must be free for each child);
+    children run strictly sequentially and exit cleanly between modes.
+    """
+    selected = os.environ.get("BENCH_MODES", "f64,f32,f32_pallas").split(",")
+    results = {}
+    for name in selected:
+        name = name.strip()
+        env = {**os.environ, **MODES[name]}
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single"],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=sys.stderr,
+            text=True,
+            timeout=3600,
+        )
+        if proc.returncode != 0:
+            print(f"[bench] mode {name} FAILED (rc={proc.returncode})", file=sys.stderr)
+            continue
+        line = proc.stdout.strip().splitlines()[-1]
+        results[name] = json.loads(line)
+
+    if "f64" not in results:
+        # keep the driver artifact parseable even on a partial failure
+        print(json.dumps({"metric": "mmscasepol_spatial_N256_wallclock",
+                          "value": None, "unit": "s", "vs_baseline": None,
+                          "modes_failed": selected}))
+        return 1
+
+    f64 = results["f64"]
+    out = {
+        "metric": "mmscasepol_spatial_N256_wallclock",
+        "value": f64["value"],
+        "unit": "s",
+        "vs_baseline": f64["vs_baseline"],
+        "f64_error": f64["error"],
+    }
+    baseline_s = round(f64["value"] * f64["vs_baseline"], 1)  # recover 280.4
+    for name in MODES:
+        if name == "f64" or name not in results:
+            continue
+        r = results[name]
+        out[f"{name}_s"] = r["value"]
+        out[f"{name}_vs_baseline"] = round(baseline_s / r["value"], 2)
+        out[f"{name}_error"] = r["error"]
+    print(json.dumps(out))
+    return 0
+
+
 if __name__ == "__main__":
-    main()
+    if "--single" in sys.argv[1:]:
+        run_single()
+    else:
+        sys.exit(main())

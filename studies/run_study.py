@@ -58,6 +58,9 @@ def main():
     p.add_argument("--expected-rate", type=float, default=2.0)
     p.add_argument("--serial-eta", action="store_true",
                    help="run the eta sweep serially instead of vmapped")
+    p.add_argument("--batched", action="store_true",
+                   help="spatial ladders: pad-to-max + vmap — ALL levels in "
+                        "ONE XLA program/compile (harness/batched_ladder.py)")
     p.add_argument("--shared-compile", action="store_true",
                    help="temporal ladders: traced-dt padded-scan mode — one "
                         "XLA compile per grid size instead of per level")
@@ -68,8 +71,16 @@ def main():
     def run_one(study, kind, levels):
         print(f"\n===== {study} / {kind} =====")
         if kind == "spatial":
-            res = run_spatial_study(study, levels=levels or 8,
-                                    measure_steady=args.measure_steady)
+            if args.batched:
+                from na_dd_tpu.harness.batched_ladder import run_spatial_ladder_batched
+
+                res = run_spatial_ladder_batched(
+                    study, levels=levels or 8,
+                    measure_steady=args.measure_steady,
+                )
+            else:
+                res = run_spatial_study(study, levels=levels or 8,
+                                        measure_steady=args.measure_steady)
         elif kind == "temporal":
             res = run_temporal_study(study, levels=levels,
                                      shared_compile=args.shared_compile,
