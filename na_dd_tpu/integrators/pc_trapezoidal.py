@@ -522,6 +522,58 @@ class PCTrapezoidalBase:
 
         analytic = self.assemble_stencil and self.stencil_source == "analytic"
 
+        # --- fused triple-solve kernel (pallas + analytic couplings):
+        # the whole triangular sweep's linear algebra in ONE VMEM-resident
+        # kernel — no HBM round-trips between the T/cl/cd solves ---
+        if (
+            analytic
+            and self.coupling_source == "analytic"
+            and self.precision == "full"
+            and self.stencil_backend == "pallas"
+            and ops is LOCAL_OPS
+            and self.krylov_unroll is not None
+            and not self.krylov_scanned
+        ):
+            from na_dd_tpu.ops.pallas_kernels import (
+                triple_solve_fits,
+                triple_solve_pallas,
+            )
+
+            if triple_solve_fits(s.T.shape, s.T.dtype):
+                interp = jax.default_backend() == "cpu"
+                fT0 = field.FT(g, ops, s, t1)
+                fcl0 = field.Fcl(g, ops, s, t1)
+                fcd0 = field.Fcd(g, ops, s, t1)
+                J_T = linsolve.newton_planes(g, ops, field.stencil_dFT_dT(g, ops, s), dt)
+                J_cl = linsolve.newton_planes(g, ops, field.stencil_dFcl_dcl(g, ops, s), dt)
+                J_cd = linsolve.newton_planes(g, ops, field.stencil_dFcd_dcd(g, ops, s), dt)
+                inv = lambda st: jnp.where(  # noqa: E731
+                    mask > 0, 1.0 / jnp.where(st.c0 == 0, 1.0, st.c0), 0.0
+                )
+                dT, dcl, dcd, info3 = triple_solve_pallas(
+                    J_T, J_cl, J_cd,
+                    field.stencil_dFcl_dT(g, ops, s),
+                    field.stencil_dFcd_dT(g, ops, s),
+                    field.diag_dFcd_dcl(g, s),
+                    YT0 - (2.0 * s.T - dt * fT0),
+                    Ycl0 - 2.0 * s.cl + dt * fcl0,
+                    Ycd0 - 2.0 * s.cd + dt * fcd0,
+                    inv(J_T), inv(J_cl), inv(J_cd), mask, dt,
+                    tol=self.krylov_tol,
+                    iters=self.krylov_unroll,
+                    interpret=interp,
+                )
+                T1 = s.T * mask + dT  # boundary re-zeroed, as in the reference
+                cl1 = s.cl + dcl  # boundary kept
+                cd1 = s.cd + dcd
+                unpack = lambda k: {  # noqa: E731
+                    key: info3[key][k] for key in ("iters", "resnorm_sq", "converged")
+                }
+                return self._sweep_tail(
+                    g, ops, s, t1, dt, Y, T1, cl1, cd1,
+                    unpack(0), unpack(1), unpack(2),
+                )
+
         # --- T (reference newton_step_T, src/prob1base.py:2998-3045) ---
         if analytic:
             # FT is linear in T: closed-form planes + direct primal eval.
@@ -600,6 +652,15 @@ class PCTrapezoidalBase:
             dcd, info_cd = inner_solve(mv_cd, rhs_cd)
         cd1 = s.cd + dcd
 
+        return self._sweep_tail(
+            g, ops, s, t1, dt, Y, T1, cl1, cd1, info_T, info_cl, info_cd
+        )
+
+    def _sweep_tail(self, g, ops, s, t1, dt, Y, T1, cl1, cd1, info_T, info_cl, info_cd):
+        """Residual tracking + diagnostics packaging shared by the
+        per-variable and fused-triple sweep paths."""
+        field = self.semi_discrete_field
+        YT0, Ycl0, Ycd0 = Y
         if self.track_residuals:
             s_T = s._replace(T=T1)
             res_T = 2.0 * T1 - dt * field.FT(g, ops, s_T, t1) - YT0

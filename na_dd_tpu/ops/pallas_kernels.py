@@ -61,7 +61,6 @@ def _shifted(u):
 def _make_bicgstab_kernel(iters: int, tol: float):
     def kernel(b_ref, c0_ref, cxm_ref, cxp_ref, cym_ref, cyp_ref,
                invd_ref, mask_ref, x_ref, iters_ref):
-        mask = mask_ref[:]
         c0, cxm, cxp, cym, cyp = (
             c0_ref[:], cxm_ref[:], cxp_ref[:], cym_ref[:], cyp_ref[:]
         )
@@ -70,66 +69,214 @@ def _make_bicgstab_kernel(iters: int, tol: float):
             u_xm, u_xp, u_ym, u_yp = _shifted(w)
             return c0 * w + cxm * u_xm + cxp * u_xp + cym * u_ym + cyp * u_yp
 
-        minv = lambda r: r * invd_ref[:]
-        dot = lambda u, v: jnp.sum(u * v)
-
-        b = b_ref[:]
-        dt_ = b.dtype
-        eps_div = jnp.asarray(1e-300, dtype=dt_)
-
-        def safe_div(num, den):
-            den_ok = jnp.abs(den) > eps_div
-            return jnp.where(den_ok, num / jnp.where(den_ok, den, 1.0), 0.0), den_ok
-
-        # x0 = 0  =>  r0 = b
-        r = b
-        rhat = r
-        tol_sq = jnp.asarray(tol * tol, dt_) * dot(b, b)
-        x = jnp.zeros_like(b)
-        z = jnp.zeros_like(b)
-        one = jnp.asarray(1.0, dt_)
-        p, v = z, z
-        rho = alpha = omega = one
-        done = dot(r, r) <= tol_sq
-        iters_used = jnp.asarray(0, jnp.int32)
-
-        for _ in range(iters):
-            keep = lambda old, new: jnp.where(done, old, new)  # noqa: E731
-            rho1 = dot(rhat, r)
-            ratio, ok1 = safe_div(rho1, rho)
-            aw, ok2 = safe_div(alpha, omega)
-            beta = ratio * aw
-            p_new = r + beta * (p - omega * v)
-            phat = minv(p_new)
-            v_new = matvec(phat)
-            alpha_new, ok3 = safe_div(rho1, dot(rhat, v_new))
-            s = r - alpha_new * v_new
-            x_half = x + alpha_new * phat
-            s_conv = dot(s, s) <= tol_sq
-
-            shat = minv(s)
-            t = matvec(shat)
-            omega_new, ok4 = safe_div(dot(t, s), dot(t, t))
-            x_full = x_half + omega_new * shat
-            r_new = jnp.where(s_conv, s, s - omega_new * t)
-            x_new = jnp.where(s_conv, x_half, x_full)
-
-            breakdown = jnp.logical_not(ok1 & ok2 & ok3 & ok4)
-            x = keep(x, x_new)
-            r = keep(r, r_new)
-            p = keep(p, p_new)
-            v = keep(v, v_new)
-            rho = keep(rho, rho1)
-            alpha = keep(alpha, alpha_new)
-            omega = keep(omega, omega_new)
-            # pre-update done, matching bicgstab_unrolled's iters_used order
-            iters_used = iters_used + jnp.where(done, 0, 1).astype(jnp.int32)
-            done = done | s_conv | breakdown | (dot(r, r) <= tol_sq)
-
-        x_ref[:] = x * mask
+        # x0 = 0  =>  r0 = b; same masked-early-exit update (and iters_used
+        # ordering) as bicgstab_unrolled
+        x, iters_used, _r, _tol_sq = _bicgstab_inline(
+            matvec, lambda r: r * invd_ref[:], b_ref[:], tol, iters
+        )
+        x_ref[:] = x * mask_ref[:]
         iters_ref[0] = iters_used
 
     return kernel
+
+
+def _bicgstab_inline(matvec, minv, b, tol: float, iters: int):
+    """The masked-early-exit BiCGStab update as a value-level helper shared
+    by the single-solve and fused triple-solve kernels (identical algebra to
+    :func:`na_dd_tpu.ops.linsolve.bicgstab_unrolled` with x0 = 0)."""
+    dt_ = b.dtype
+    dot = lambda u, v: jnp.sum(u * v)
+    eps_div = jnp.asarray(1e-300, dtype=dt_)
+
+    def safe_div(num, den):
+        den_ok = jnp.abs(den) > eps_div
+        return jnp.where(den_ok, num / jnp.where(den_ok, den, 1.0), 0.0), den_ok
+
+    r = b
+    rhat = r
+    tol_sq = jnp.asarray(tol * tol, dt_) * dot(b, b)
+    x = jnp.zeros_like(b)
+    z = jnp.zeros_like(b)
+    one = jnp.asarray(1.0, dt_)
+    p, v = z, z
+    rho = alpha = omega = one
+    done = dot(r, r) <= tol_sq
+    iters_used = jnp.asarray(0, jnp.int32)
+
+    for _ in range(iters):
+        keep = lambda old, new: jnp.where(done, old, new)  # noqa: E731
+        rho1 = dot(rhat, r)
+        ratio, ok1 = safe_div(rho1, rho)
+        aw, ok2 = safe_div(alpha, omega)
+        beta = ratio * aw
+        p_new = r + beta * (p - omega * v)
+        phat = minv(p_new)
+        v_new = matvec(phat)
+        alpha_new, ok3 = safe_div(rho1, dot(rhat, v_new))
+        s = r - alpha_new * v_new
+        x_half = x + alpha_new * phat
+        s_conv = dot(s, s) <= tol_sq
+
+        shat = minv(s)
+        t = matvec(shat)
+        omega_new, ok4 = safe_div(dot(t, s), dot(t, t))
+        x_full = x_half + omega_new * shat
+        r_new = jnp.where(s_conv, s, s - omega_new * t)
+        x_new = jnp.where(s_conv, x_half, x_full)
+
+        breakdown = jnp.logical_not(ok1 & ok2 & ok3 & ok4)
+        x = keep(x, x_new)
+        r = keep(r, r_new)
+        p = keep(p, p_new)
+        v = keep(v, v_new)
+        rho = keep(rho, rho1)
+        alpha = keep(alpha, alpha_new)
+        omega = keep(omega, omega_new)
+        iters_used = iters_used + jnp.where(done, 0, 1).astype(jnp.int32)
+        done = done | s_conv | breakdown | (dot(r, r) <= tol_sq)
+
+    return x, iters_used, r, tol_sq
+
+
+def _make_triple_solve_kernel(iters: int, tol: float):
+    """Kernel body for the fused triangular Newton sweep: the T, cl, cd
+    solves AND the cross-coupling rhs updates between them run in one
+    VMEM-resident program — 25 coefficient planes (3 Newton operators + 2
+    coupling operators), the diagonal cl→cd coupling, three inverse
+    diagonals and the mask co-resident on-chip, with no HBM round-trips
+    between the solves (the reference's three sequential CSR solves,
+    src/prob1base.py:2998-3115, as one kernel)."""
+
+    def kernel(
+        # Newton planes (c0, cxm, cxp, cym, cyp) x 3 variables
+        jt0, jtxm, jtxp, jtym, jtyp,
+        jl0, jlxm, jlxp, jlym, jlyp,
+        jd0, jdxm, jdxp, jdym, jdyp,
+        # coupling planes: dFcl/dT, dFcd/dT, plus diagonal dFcd/dcl
+        ct0, ctxm, ctxp, ctym, ctyp,
+        cd0, cdxm, cdxp, cdym, cdyp,
+        dcdcl_ref,
+        # rhs pieces, preconditioners, mask, dt scalar
+        rhsT_ref, basecl_ref, basecd_ref,
+        invdT_ref, invdcl_ref, invdcd_ref, mask_ref, dt_ref,
+        # outputs
+        dT_ref, dcl_ref, dcd_ref, iters_ref, res_ref, tolsq_ref,
+    ):
+        mask = mask_ref[:]
+        dt_s = dt_ref[0]
+
+        def stencil_apply(c0, cxm, cxp, cym, cyp, w):
+            w_xm, w_xp, w_ym, w_yp = _shifted(w)
+            return c0 * w + cxm * w_xm + cxp * w_xp + cym * w_ym + cyp * w_yp
+
+        # --- T solve ---
+        mv_T = lambda w: stencil_apply(jt0[:], jtxm[:], jtxp[:], jtym[:], jtyp[:], w)
+        dT, it_T, r_T, tsq_T = _bicgstab_inline(
+            mv_T, lambda r: r * invdT_ref[:], rhsT_ref[:] * mask, tol, iters
+        )
+        dT = dT * mask
+
+        # --- cl rhs coupling + solve ---
+        coup_cl = stencil_apply(ct0[:], ctxm[:], ctxp[:], ctym[:], ctyp[:], dT)
+        rhs_cl = (basecl_ref[:] + dt_s * coup_cl) * mask
+        mv_cl = lambda w: stencil_apply(jl0[:], jlxm[:], jlxp[:], jlym[:], jlyp[:], w)
+        dcl, it_cl, r_cl, tsq_cl = _bicgstab_inline(
+            mv_cl, lambda r: r * invdcl_ref[:], rhs_cl, tol, iters
+        )
+        dcl = dcl * mask
+
+        # --- cd rhs coupling + solve ---
+        coup_cd = (
+            stencil_apply(cd0[:], cdxm[:], cdxp[:], cdym[:], cdyp[:], dT)
+            + dcdcl_ref[:] * dcl
+        )
+        rhs_cd = (basecd_ref[:] + dt_s * coup_cd) * mask
+        mv_cd = lambda w: stencil_apply(jd0[:], jdxm[:], jdxp[:], jdym[:], jdyp[:], w)
+        dcd, it_cd, r_cd, tsq_cd = _bicgstab_inline(
+            mv_cd, lambda r: r * invdcd_ref[:], rhs_cd, tol, iters
+        )
+
+        dT_ref[:] = dT
+        dcl_ref[:] = dcl
+        dcd_ref[:] = dcd * mask
+        iters_ref[0] = it_T
+        iters_ref[1] = it_cl
+        iters_ref[2] = it_cd
+        # recurrence-residual diagnostics (bicgstab_unrolled semantics)
+        res_ref[0] = jnp.sum(r_T * r_T)
+        res_ref[1] = jnp.sum(r_cl * r_cl)
+        res_ref[2] = jnp.sum(r_cd * r_cd)
+        tolsq_ref[0] = tsq_T
+        tolsq_ref[1] = tsq_cl
+        tolsq_ref[2] = tsq_cd
+
+    return kernel
+
+
+def triple_solve_fits(shape, dtype) -> bool:
+    """VMEM predicate for :func:`triple_solve_pallas`: ~40 live planes/
+    vectors (25 coefficient planes + rhs/precond/mask/solver state)."""
+    return _footprint_fits(shape, dtype, 40)
+
+
+def triple_solve_pallas(
+    J_T, J_cl, J_cd, C_clT, C_cdT, d_cdcl,
+    rhs_T, base_cl, base_cd,
+    invd_T, invd_cl, invd_cd, mask, dt,
+    *, tol: float, iters: int, interpret: bool = False,
+):
+    """The whole triangular Newton sweep's linear algebra as ONE kernel.
+
+    Solves J_T·δT = rhs_T, then J_cl·δcl = base_cl + dt·C_clT·δT, then
+    J_cd·δcd = base_cd + dt·(C_cdT·δT + d_cdcl ⊙ δcl), entirely in VMEM —
+    each solve the same masked-early-exit BiCGStab as
+    :func:`bicgstab_solve_pallas`.  Returns (δT, δcl, δcd, info) with
+    per-solve iteration counts, recurrence-residual norms and convergence
+    flags (``bicgstab_unrolled`` semantics), all read back through
+    SMEM scalar outputs.
+    """
+    assert triple_solve_fits(rhs_T.shape, rhs_T.dtype), (
+        "triple_solve_pallas exceeds the VMEM budget for this operand — "
+        "callers must check triple_solve_fits() and fall back to the "
+        "per-solve path"
+    )
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        )
+        spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    else:
+        spec = pl.BlockSpec(memory_space=pl.ANY)
+        scalar_spec = pl.BlockSpec(memory_space=pl.ANY)
+
+    dt_arr = jnp.asarray(dt, rhs_T.dtype).reshape(1)
+    planes = (
+        list(J_T) + list(J_cl) + list(J_cd) + list(C_clT) + list(C_cdT)
+        + [d_cdcl, rhs_T, base_cl, base_cd, invd_T, invd_cl, invd_cd, mask]
+    )
+    dT, dcl, dcd, iters_used, res_sq, tol_sq = pl.pallas_call(
+        _make_triple_solve_kernel(int(iters), float(tol)),
+        out_shape=[
+            jax.ShapeDtypeStruct(rhs_T.shape, rhs_T.dtype),
+            jax.ShapeDtypeStruct(rhs_T.shape, rhs_T.dtype),
+            jax.ShapeDtypeStruct(rhs_T.shape, rhs_T.dtype),
+            jax.ShapeDtypeStruct((3,), jnp.int32),
+            jax.ShapeDtypeStruct((3,), rhs_T.dtype),
+            jax.ShapeDtypeStruct((3,), rhs_T.dtype),
+        ],
+        in_specs=[spec] * len(planes) + [scalar_spec],
+        out_specs=[spec, spec, spec, scalar_spec, scalar_spec, scalar_spec],
+        interpret=interpret,
+        **kwargs,
+    )(*planes, dt_arr)
+    info = {
+        "iters": iters_used,
+        "resnorm_sq": res_sq,
+        "converged": res_sq <= tol_sq,
+    }
+    return dT, dcl, dcd, info
 
 
 def _footprint_fits(shape, dtype, live_planes: int) -> bool:

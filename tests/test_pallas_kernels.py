@@ -184,3 +184,35 @@ def test_stencil5_tiled_auto_tile_pick():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(st.apply(LOCAL_OPS, u)), rtol=1e-6
     )
+
+
+def test_fused_triple_solve_matches_per_solve_path():
+    """backend='pallas' + coupling_source='analytic' routes the whole sweep
+    through triple_solve_pallas (ONE kernel); the study error must match the
+    per-solve analytic-coupling path to rounding, and the per-solve
+    iteration diagnostics must survive the SMEM readback."""
+    from na_dd_tpu.harness.studies import _make_trial, study_consts
+    from na_dd_tpu.mms import cases as mms_cases
+    from na_dd_tpu.mms.engine import state_from_mms_when
+
+    def run(**kw):
+        trial = _make_trial(
+            mms_cases.MMSCasePol, 16, 50.0, mc=study_consts("pol"),
+            krylov_unroll=8, **kw,
+        )
+        s = trial.run_for_errors(Tf=0.01, dt=5e-4)
+        return trial, float(s.overall_combined_error)
+
+    _, e_ref = run(coupling_source="analytic")
+    trial_f, e_fused = run(coupling_source="analytic", stencil_backend="pallas")
+    np.testing.assert_allclose(e_fused, e_ref, rtol=1e-9)
+
+    # step diagnostics flow through (iters summed over the three solves)
+    s0 = state_from_mms_when(
+        mms_case=trial_f.mms_case, t=0.0, grid=trial_f.grid
+    )
+    _, diag = trial_f.integrator.step_fn(
+        trial_f.grid, LOCAL_OPS, s0, 0.0, 1e-3
+    )
+    assert int(diag.krylov_iters) > 0
+    assert bool(diag.krylov_converged)
