@@ -17,16 +17,25 @@ program:
   the ladder-max step count — coarse levels integrate past Tf and the
   overrun rows are discarded host-side (same padding scheme as the
   temporal-ladder ``traced_dt`` mode, harness/trial.py);
-* the Krylov budget is unified to the ladder max (the unrolled solver's
-  masked early exit makes a larger budget bit-identical, just bigger to
-  compile).
+* the Krylov budget is unified to the ladder max (the masked early exit
+  makes a larger budget bit-identical, just bigger to compile);
+* the solver body defaults to the SCANNED BiCGStab
+  (:func:`na_dd_tpu.ops.linsolve.bicgstab_scanned`): under ``vmap`` the
+  fully-unrolled solver's XLA compile blows up super-linearly (measured on
+  the axon TPU: the 8-level pol ladder with the unrolled budget-8 body did
+  NOT finish compiling in 25 min, while the scanned body compiled + ran in
+  360 s), and the scanned iteration is measured-exact on TPU.
 
-Result: one compile (≈ the finest level's own compile) + one device launch
-for all eight levels.  Numerics: identical algorithm per level; the only
-deviations from the per-level programs are summation-order rounding in the
-global dot products (padded zeros change the reduction tree) — measured at
-the documented noise floor (tests/test_batched_ladder.py asserts per-level
-agreement on CPU).
+Result (measured, axon TPU, 2026-08-17): the cold 8-level pol spatial
+ladder = ONE XLA program, **359.8 s compile+run, 1.00 s steady**, every
+level matching the reference value to <= 1.9e-6 relative (finest level
+4.382843e-9 = the reference's 4.38284e-9), observed rate 1.993 — vs 677 s
+for the round-2 thread-pool per-level prepass
+(studies/results/pol_spatial_batched_1786959865.json).  Numerics: identical
+algorithm per level; the only deviations from the per-level programs are
+summation-order rounding in the global dot products (padded zeros change
+the reduction tree) — tests/test_batched_ladder.py asserts per-level
+agreement on CPU.
 """
 
 from __future__ import annotations
@@ -113,6 +122,7 @@ def run_spatial_ladder_batched(
     eta: float = 50.0,
     verbose: bool = True,
     measure_steady: bool = False,
+    krylov_scanned: bool = True,
 ) -> dict:
     """Notebook cell 9's ladder as ONE vmapped XLA program.
 
@@ -158,6 +168,9 @@ def run_spatial_ladder_batched(
         regularization_factor=eta,
         track_residuals=False,
         krylov_unroll=budget,
+        # scanned body: vmap of the unrolled solver blows up XLA compile
+        # (see module docstring); the scanned iteration is measured-exact
+        krylov_scanned=krylov_scanned,
     )
 
     # per-level padded (grid, s0), stacked into leading-axis batches
