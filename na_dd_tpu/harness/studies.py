@@ -111,6 +111,14 @@ STUDIES: Dict[str, dict] = {
         # N=128: unroll8/analytic 2.2e-2, unroll16/analytic 5.7e-8).  The
         # violently-moving-Gaussian case needs more slack against the
         # program-shape-dependent f64-emulation rounding than the smooth ones.
+        # Further localized (studies/mixed_peaks_probe.py, TPU 2026-08-17):
+        # precision="mixed" — every Krylov iteration in NATIVE f32, no f64
+        # emulation in the solver loop — reproduces the full-f64 tier-8
+        # value to 9.5e-12 INCLUDING its 2.2e-2 drift, so the drift is NOT
+        # Krylov arithmetic: it enters through the emulated-f64
+        # transcendental forcing under scan fusion (consistent with the
+        # framework-free repro, studies/scan_fusion_synthetic_repro.py).
+        # The pin therefore applies to every precision mode.
         min_krylov_unroll=16,
     ),
 }
