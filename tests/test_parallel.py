@@ -191,3 +191,41 @@ def test_sharded_simulation_2d_mesh_matches_local():
         local_g = series.grad_h_norm_p_sq_errors[v]
         sharded_g = np.concatenate([[float(g0[v])], np.asarray(grad_sq[v])])
         np.testing.assert_allclose(sharded_g, local_g, rtol=1e-8, atol=1e-22)
+
+
+def test_sharded_mixed_precision_step_matches_local():
+    """precision='mixed' under shard_map: the f32 inner solves' dots psum in
+    f32 and the f64 refinement residuals psum in f64 — the sharded mixed
+    step must reproduce the local mixed step (same summation-order caveat as
+    the full-precision test)."""
+    g = make_grid(np.linspace(0, 1, 16), np.linspace(0, 1, 16))
+    model = Model02(default_model_consts)
+    mms = MMSCasePol(g, model=model)
+    forcing = MMSForcingRegHCsTriple(
+        mms_case=mms, model=model, regularization_factor=50.0
+    )
+    field = FieldRegHCsTriple(
+        grid=g, model=model, forcing=forcing, regularization_factor=50.0
+    )
+    integ = PCTrapezoidalRegHCsTriple(
+        field, regularization_factor=50.0, precision="mixed", krylov_unroll=8
+    )
+    s0 = state_from_mms_when(mms_case=mms, t=0.0, grid=g)
+
+    s_local, _ = jax.jit(integ.step_fn, static_argnums=1)(
+        g, LOCAL_OPS, s0, 0.0, 1e-3
+    )
+
+    mesh = make_mesh((8,), ("x",))
+    gs, ss = shard_grid_and_state(mesh, g, s0)
+    step = build_sharded_step(integ, mesh)
+    s_sharded, diag = step(gs, ss, 0.0, 1e-3)
+    assert bool(diag["krylov_converged"])  # refinement reaches the f64 target
+    for v in State._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_sharded, v)),
+            np.asarray(getattr(s_local, v)),
+            rtol=0,
+            atol=1e-12,
+            err_msg=v,
+        )
