@@ -147,7 +147,9 @@ def main():
     This process never imports jax (the TPU must be free for each child);
     children run strictly sequentially and exit cleanly between modes.
     """
-    selected = os.environ.get("BENCH_MODES", "f64,f32,f32_pallas").split(",")
+    selected = os.environ.get(
+        "BENCH_MODES", "f64,f32,f32_pallas,mixed,mixed_pallas"
+    ).split(",")
     results = {}
     for name in selected:
         name = name.strip()
