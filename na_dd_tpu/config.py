@@ -9,8 +9,17 @@ the ``dtype`` arguments where offered.
 """
 
 import os
+import sys
 
 import jax
+
+# Deeply composed programs (the mixed-precision path traces Pallas solve
+# kernels inside refinement loops inside Newton sweeps inside the whole-run
+# scan) exceed CPython's default 1000-frame recursion limit during JAX's
+# jaxpr lowering (measured: RecursionError lowering mixed+pallas on TPU).
+# Raising it is the standard JAX remedy; CPython frames are heap-allocated,
+# so a generous bound only relaxes the runaway-recursion guard.
+sys.setrecursionlimit(max(sys.getrecursionlimit(), 20_000))
 
 
 def setup_x64() -> None:
