@@ -101,7 +101,13 @@ def _bicgstab_inline(matvec, minv, b, tol: float, iters: int):
     p, v = z, z
     rho = alpha = omega = one
     done = dot(r, r) <= tol_sq
+    # int32 EXPLICITLY on both where-branches: under x64 mode (the mixed-
+    # precision path) weak python ints materialize as int64, and Mosaic's
+    # int64 lowering recurses without bound (measured RecursionError
+    # lowering mixed+pallas on TPU)
     iters_used = jnp.asarray(0, jnp.int32)
+    i32_zero = jnp.asarray(0, jnp.int32)
+    i32_one = jnp.asarray(1, jnp.int32)
 
     for _ in range(iters):
         keep = lambda old, new: jnp.where(done, old, new)  # noqa: E731
@@ -132,7 +138,7 @@ def _bicgstab_inline(matvec, minv, b, tol: float, iters: int):
         rho = keep(rho, rho1)
         alpha = keep(alpha, alpha_new)
         omega = keep(omega, omega_new)
-        iters_used = iters_used + jnp.where(done, 0, 1).astype(jnp.int32)
+        iters_used = iters_used + jnp.where(done, i32_zero, i32_one)
         done = done | s_conv | breakdown | (dot(r, r) <= tol_sq)
 
     return x, iters_used, r, tol_sq
