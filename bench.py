@@ -168,12 +168,20 @@ def main():
         line = proc.stdout.strip().splitlines()[-1]
         results[name] = json.loads(line)
 
+    failed = [n.strip() for n in selected if n.strip() not in results]
     if "f64" not in results:
-        # keep the driver artifact parseable even on a partial failure
-        print(json.dumps({"metric": "mmscasepol_spatial_N256_wallclock",
-                          "value": None, "unit": "s", "vs_baseline": None,
-                          "modes_failed": selected}))
-        return 1
+        # no parity-mode run: keep the artifact parseable, report whatever
+        # modes DID succeed (value stays the f64 steady for baseline
+        # continuity, so it is null here)
+        out = {"metric": "mmscasepol_spatial_N256_wallclock",
+               "value": None, "unit": "s", "vs_baseline": None}
+        for name, r in results.items():
+            out[f"{name}_s"] = r["value"]
+            out[f"{name}_error"] = r["error"]
+        if failed:
+            out["modes_failed"] = failed
+        print(json.dumps(out))
+        return 1 if failed else 0
 
     f64 = results["f64"]
     out = {
@@ -191,6 +199,8 @@ def main():
         out[f"{name}_s"] = r["value"]
         out[f"{name}_vs_baseline"] = round(baseline_s / r["value"], 2)
         out[f"{name}_error"] = r["error"]
+    if failed:
+        out["modes_failed"] = failed
     print(json.dumps(out))
     return 0
 
