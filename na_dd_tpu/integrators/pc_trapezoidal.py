@@ -131,6 +131,7 @@ class PCTrapezoidalBase:
         precision: str | None = None,
         mixed_refine: int = 2,
         coupling_source: str | None = None,
+        fused_triple: bool | None = None,
     ):
         """krylov_tol: relative linear-solve residual target.  None (default)
         resolves per-trace to the dtype-aware value (1e-13 in f64, 1e-5 in
@@ -256,6 +257,15 @@ class PCTrapezoidalBase:
                 f"coupling_source must be 'jvp' or 'analytic'; got {coupling_source!r}"
             )
         self.coupling_source = coupling_source
+        # fused triple-solve kernel on the pallas+analytic path.  Default ON
+        # (env NA_DD_TPU_TRIPLE=0 disables) — measured 0.034 s vs 0.031 s
+        # for the per-solve fused path at N=256 (slightly slower there: 32
+        # co-resident input planes pipeline worse than three small kernels
+        # overlapped with XLA elementwise work), kept selectable for sizes/
+        # budgets where one launch per sweep wins.
+        if fused_triple is None:
+            fused_triple = os.environ.get("NA_DD_TPU_TRIPLE", "1") != "0"
+        self.fused_triple = bool(fused_triple)
         # measurement flag: probe the 5 stencil planes under one vmap instead
         # of 5 inlined applies (see linsolve.probe_stencil_vmapped)
         self.probe_vmapped = os.environ.get("NA_DD_TPU_PROBE", "") == "vmap"
@@ -527,6 +537,7 @@ class PCTrapezoidalBase:
         # kernel — no HBM round-trips between the T/cl/cd solves ---
         if (
             analytic
+            and self.fused_triple
             and self.coupling_source == "analytic"
             and self.precision == "full"
             and self.stencil_backend == "pallas"
