@@ -87,10 +87,15 @@ def _bicgstab_inline(matvec, minv, b, tol: float, iters: int):
     dt_ = b.dtype
     dot = lambda u, v: jnp.sum(u * v)
     eps_div = jnp.asarray(1e-300, dtype=dt_)
+    # dtype-matched constants: weak 1.0/0.0 literals become f64 scalars
+    # under x64, which Mosaic cannot lower (the mixed+pallas path traces
+    # these kernels with x64 enabled)
+    f_one = jnp.asarray(1.0, dt_)
+    f_zero = jnp.asarray(0.0, dt_)
 
     def safe_div(num, den):
         den_ok = jnp.abs(den) > eps_div
-        return jnp.where(den_ok, num / jnp.where(den_ok, den, 1.0), 0.0), den_ok
+        return jnp.where(den_ok, num / jnp.where(den_ok, den, f_one), f_zero), den_ok
 
     r = b
     rhat = r
@@ -388,12 +393,15 @@ def _make_stencil5_tiled_kernel(R: int, T: int):
         i = pl.program_id(0)
         row0 = i * T
         u = u_ref[:]
+        # dtype-matched zero (a weak 0.0 literal becomes an f64 scalar
+        # constant under x64, which Mosaic cannot lower)
+        zero = jnp.zeros((), u.dtype)
         row_ids = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0) + row0
-        u = jnp.where(row_ids < R, u, 0.0)
+        u = jnp.where(row_ids < R, u, zero)
         # halo rows (zero-inflow outside the grid, exactly the shift-op
         # semantics of the single-block kernel)
-        up = jnp.where(i > 0, up_ref[:], 0.0)
-        dn = jnp.where(row0 + T <= R - 1, dn_ref[:], 0.0)
+        up = jnp.where(i > 0, up_ref[:], zero)
+        dn = jnp.where(row0 + T <= R - 1, dn_ref[:], zero)
         u_xm = jnp.concatenate([up, u[:-1, :]], axis=0)
         u_xp = jnp.concatenate([u[1:, :], dn], axis=0)
         zcol = jnp.zeros_like(u[:, :1])

@@ -216,3 +216,50 @@ def test_fused_triple_solve_matches_per_solve_path():
     )
     assert int(diag.krylov_iters) > 0
     assert bool(diag.krylov_converged)
+
+
+def test_kernel_jaxprs_are_64bit_clean_under_x64():
+    """Mosaic lowers neither f64 nor int64 (int64 conversion recurses
+    unboundedly — measured RecursionError on TPU in the mixed+pallas mode,
+    which traces the kernels with x64 ENABLED).  Guard: tracing every
+    kernel entry point with f32 operands under x64 must produce jaxprs with
+    no 64-bit dtype anywhere (the weak-python-int trap: `jnp.where(done, 0,
+    1)` materializes int64 under x64)."""
+    import jax
+
+    from na_dd_tpu.ops.pallas_kernels import (
+        bicgstab_solve_pallas,
+        stencil5_apply_pallas,
+        stencil5_apply_tiled,
+        triple_solve_pallas,
+    )
+
+    rng = np.random.RandomState(11)
+    shape = (17, 17)
+    st = _random_stencil(shape, rng, jnp.float32)
+    f = lambda: jnp.asarray(rng.rand(*shape), dtype=jnp.float32)
+    u, invd, mask = f(), f(), jnp.ones(shape, jnp.float32)
+
+    traces = {
+        "apply": jax.make_jaxpr(
+            lambda st, u: stencil5_apply_pallas(st, u, interpret=True)
+        )(st, u),
+        "tiled": jax.make_jaxpr(
+            lambda st, u: stencil5_apply_tiled(st, u, row_tile=8, interpret=True)
+        )(st, u),
+        "solve": jax.make_jaxpr(
+            lambda st, b, d, m: bicgstab_solve_pallas(
+                st, b, d, m, tol=1e-5, iters=3, interpret=True
+            )
+        )(st, u, invd, mask),
+        "triple": jax.make_jaxpr(
+            lambda st, b, d, m: triple_solve_pallas(
+                st, st, st, st, st, b, b, b, b, d, d, d, m, 1e-3,
+                tol=1e-5, iters=3, interpret=True,
+            )
+        )(st, u, invd, mask),
+    }
+    for name, jaxpr in traces.items():
+        text = str(jaxpr)
+        for bad in ("f64", "i64", "u64"):
+            assert bad not in text, f"{name} kernel trace contains {bad} under x64"
