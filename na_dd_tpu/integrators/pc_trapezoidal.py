@@ -132,6 +132,7 @@ class PCTrapezoidalBase:
         mixed_refine: int = 2,
         coupling_source: str | None = None,
         fused_triple: bool | None = None,
+        linear_solver: str | None = None,
     ):
         """krylov_tol: relative linear-solve residual target.  None (default)
         resolves per-trace to the dtype-aware value (1e-13 in f64, 1e-5 in
@@ -206,7 +207,21 @@ class PCTrapezoidalBase:
         coupling planes (``Field01Base.stencil_dFcl_dT`` /
         ``stencil_dFcd_dT`` / ``diag_dFcd_dcl``) — the whole sweep becomes
         stencil algebra (same exact operator; agreement to rounding,
-        tests/test_analytic_stencils.py).  Defaults from NA_DD_TPU_COUPLING."""
+        tests/test_analytic_stencils.py).  Defaults from NA_DD_TPU_COUPLING.
+
+        linear_solver: "krylov" (default) solves each Newton system with the
+        preconditioned BiCGStab family above.  "direct" solves it EXACTLY by
+        block cyclic reduction over dense row-blocks
+        (:func:`na_dd_tpu.ops.direct_solve.stencil5_solve_direct`) — the
+        TPU-shaped counterpart of the reference's SuperLU ``spsolve``:
+        batched m×m inverses + matmuls on the MXU, accuracy independent of
+        the stiffness number (no iteration budget to tier).  Far more FLOPs
+        than a converged Krylov solve on the smooth small-dt protocols, so
+        it is the robustness/verification backstop, not the default.  In
+        ``precision="mixed"`` the inner f32 solves use the f32 BCR (each
+        refinement pass then contracts the f64 residual by ~f32 eps).
+        Requires ``assemble_stencil=True``; local (non-shard_map) ops only.
+        Defaults from NA_DD_TPU_SOLVER ("krylov"/"direct")."""
         self.semi_discrete_field = semi_discrete_field
         self._model = semi_discrete_field.model
         self._grid = semi_discrete_field.grid
@@ -257,6 +272,15 @@ class PCTrapezoidalBase:
                 f"coupling_source must be 'jvp' or 'analytic'; got {coupling_source!r}"
             )
         self.coupling_source = coupling_source
+        if linear_solver is None:
+            linear_solver = os.environ.get("NA_DD_TPU_SOLVER", "krylov")
+        if linear_solver not in ("krylov", "direct"):
+            raise ValueError(
+                f"linear_solver must be 'krylov' or 'direct'; got {linear_solver!r}"
+            )
+        if linear_solver == "direct" and not self.assemble_stencil:
+            raise ValueError("linear_solver='direct' requires assemble_stencil=True")
+        self.linear_solver = linear_solver
         # fused triple-solve kernel on the pallas+analytic path.  Default ON
         # (env NA_DD_TPU_TRIPLE=0 disables) — measured 0.034 s vs 0.031 s
         # for the per-solve fused path at N=256 (slightly slower there: 32
@@ -384,6 +408,17 @@ class PCTrapezoidalBase:
             Routes through the fused Pallas kernels when selected/possible —
             this is the path that makes the Mosaic (f32-only) kernels usable
             inside an f64-accurate run."""
+            if self.linear_solver == "direct":
+                # f32 BCR inner solve: each refinement pass contracts the f64
+                # residual by ~f32 eps, independent of stiffness (no budget).
+                from na_dd_tpu.ops.direct_solve import stencil5_solve_direct
+
+                x32 = stencil5_solve_direct(st32, b32, mask32)
+                return x32, {
+                    "iters": jnp.asarray(1, dtype=jnp.int32),
+                    "resnorm_sq": jnp.asarray(0.0, dtype=b32.dtype),
+                    "converged": jnp.asarray(True),
+                }
             if self.stencil_backend == "pallas" and ops is LOCAL_OPS:
                 from na_dd_tpu.ops.pallas_kernels import (
                     apply_fits,
@@ -466,6 +501,23 @@ class PCTrapezoidalBase:
                 "converged": rsq <= tol * tol * dot(b, b),
             }
 
+        def solve_direct(st, rhs):
+            """Exact BCR direct solve (linear_solver='direct'); see
+            ops/direct_solve.py for the TPU rationale vs the reference's
+            SuperLU spsolve (src/prob1base.py:2109-2130)."""
+            from na_dd_tpu.ops.direct_solve import stencil5_solve_direct
+
+            b = rhs * mask
+            x = stencil5_solve_direct(st, b, mask)
+            r = (b - st.apply(ops, x)) * mask
+            rsq = dot(r, r)
+            tol = self.krylov_tol
+            return x, {
+                "iters": jnp.asarray(1, dtype=jnp.int32),
+                "resnorm_sq": rsq,
+                "converged": rsq <= tol * tol * dot(b, b),
+            }
+
         def solve_assembled(st, rhs):
             """Krylov on assembled Newton planes (diag = st.c0 is exact)."""
             inv_diag = jnp.where(
@@ -473,6 +525,8 @@ class PCTrapezoidalBase:
             )
             if self.precision == "mixed":
                 return solve_assembled_mixed(st, rhs, inv_diag)
+            if self.linear_solver == "direct":
+                return solve_direct(st, rhs)
             if self.stencil_backend == "pallas" and ops is LOCAL_OPS:
                 from na_dd_tpu.ops.pallas_kernels import (
                     apply_fits,
@@ -540,6 +594,7 @@ class PCTrapezoidalBase:
             and self.fused_triple
             and self.coupling_source == "analytic"
             and self.precision == "full"
+            and self.linear_solver == "krylov"
             and self.stencil_backend == "pallas"
             and ops is LOCAL_OPS
             and self.krylov_unroll is not None
