@@ -151,12 +151,20 @@ def _pad_pow2(A, B, C, b):
     return A, B, C, b
 
 
+# HIGHEST: TPU einsum defaults to bf16 MXU passes, which would degrade the
+# f32 BCR from ~f32 accuracy (kappa * 6e-8 per refinement pass) to ~bf16
+# accuracy (kappa * 4e-3) and stall the mixed-precision refinement loop short
+# of the f64 tolerance.  Full-f32 passes cost 3 MXU passes per matmul — noise
+# next to the O(N m^3) solve itself.
+_PREC = lax.Precision.HIGHEST
+
+
 def _mm(X, Y):
-    return jnp.einsum("bij,bjk->bik", X, Y)
+    return jnp.einsum("bij,bjk->bik", X, Y, precision=_PREC)
 
 
 def _mv(X, y):
-    return jnp.einsum("bij,bj->bi", X, y)
+    return jnp.einsum("bij,bj->bi", X, y, precision=_PREC)
 
 
 def block_tridiag_solve_bcr(A, B, C, b):

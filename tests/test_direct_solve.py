@@ -180,3 +180,39 @@ def test_direct_requires_assembled_stencils():
         PCTrapezoidalRegHCsTriple(
             field, regularization_factor=50.0, linear_solver="superlu"
         )
+
+
+def test_bcr_matmuls_request_highest_precision():
+    """Every dot_general in the lowered BCR jaxpr must carry HIGHEST
+    precision.  On TPU the DEFAULT einsum precision is bf16 MXU passes,
+    which degrades the f32 inner solve from ~kappa*6e-8 to ~kappa*4e-3 per
+    mixed-refinement pass and stalls the refinement short of the f64
+    tolerance (observed as spurious convergence warnings in
+    studies/direct_stiff_probe.py before the fix).  CPU ignores the
+    attribute, so assert it structurally on the jaxpr."""
+    import jax
+
+    g = make_uniform_grid(9, 9)
+    rng = np.random.RandomState(SEED)
+    st = _random_stencil5(g, rng)
+    mask = g.interior_mask
+    b = jnp.asarray(rng.rand(*g.full_shape)) * mask
+    jaxpr = jax.make_jaxpr(lambda: stencil5_solve_direct(st, b, mask))()
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            if eqn.primitive.name == "dot_general":
+                prec = eqn.params.get("precision")
+                assert prec is not None and all(
+                    p == jax.lax.Precision.HIGHEST
+                    for p in (prec if isinstance(prec, tuple) else (prec,))
+                ), f"dot_general without HIGHEST precision: {eqn}"
+            for sub in eqn.params.values():
+                if hasattr(sub, "jaxpr"):
+                    walk(sub.jaxpr)
+                elif isinstance(sub, (list, tuple)):
+                    for s in sub:
+                        if hasattr(s, "jaxpr"):
+                            walk(s.jaxpr)
+
+    walk(jaxpr.jaxpr)
