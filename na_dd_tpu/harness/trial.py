@@ -216,7 +216,9 @@ def run_simulation_collect_data(
         warnings.warn(
             f"{n_unconverged}/{num_steps} steps had a Krylov solve that missed "
             f"its tolerance (worst resnorm_sq {float(np.max(resnorm_sq)):.3e}); "
-            "increase krylov_unroll/krylov_maxiter.",
+            "increase krylov_unroll/krylov_maxiter (or mixed_refine in "
+            "precision='mixed'; with linear_solver='direct' the residual is "
+            "already at its attainable f64 floor — loosen krylov_tol).",
             stacklevel=2,
         )
 
