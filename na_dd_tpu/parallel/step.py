@@ -19,6 +19,20 @@ from na_dd_tpu.parallel.sharding import grid_pspec
 # late import to avoid a cycle: harness imports integrators only.
 
 
+def _check_shardable(integrator):
+    """The BCR direct solver (ops/direct_solve.py) addresses whole grid rows
+    with raw indexing — it never goes through the shift/sum Ops protocol, so
+    inside shard_map it would factorize each LOCAL shard as if its halo
+    couplings were boundaries and return silently wrong solves.  Refuse."""
+    if getattr(integrator, "linear_solver", "krylov") == "direct":
+        raise NotImplementedError(
+            "linear_solver='direct' is not shardable: block cyclic reduction "
+            "needs the full row dimension on every device (a distributed BCR "
+            "would be all-gathers, not halos).  Use the Krylov solvers "
+            "(matrix-free, halo-native) for sharded runs."
+        )
+
+
 def _make_halo_ops(mesh, axis_x, axis_y):
     nx = mesh.shape[axis_x] if axis_x else 1
     ny = mesh.shape[axis_y] if axis_y else 1
@@ -34,6 +48,7 @@ def build_sharded_step(integrator, mesh, *, axis_x="x", axis_y=None):
     """Jitted (grid, state, t, dt) -> (state', diag_scalars) over the mesh."""
     from na_dd_tpu.harness.trial import _scan_step
 
+    _check_shardable(integrator)
     hops = _make_halo_ops(mesh, axis_x, axis_y)
     spec = grid_pspec(axis_x, axis_y)
 
@@ -75,6 +90,7 @@ def build_sharded_simulation(
     """
     from na_dd_tpu.harness.trial import _collect_errors, _scan_step
 
+    _check_shardable(integrator)
     hops = _make_halo_ops(mesh, axis_x, axis_y)
     spec = grid_pspec(axis_x, axis_y)
     variable_names = tuple(variable_names)

@@ -229,3 +229,27 @@ def test_sharded_mixed_precision_step_matches_local():
             atol=1e-12,
             err_msg=v,
         )
+
+
+def test_direct_solver_refused_in_sharded_builders():
+    """linear_solver='direct' must be rejected by both sharded builders: the
+    BCR solve addresses whole grid rows with raw indexing (never the Ops
+    halo protocol), so inside shard_map it would factorize each local shard
+    against zero halos and return silently wrong solves."""
+    g, model, mms, _, s0 = _mk()
+    forcing = MMSForcingRegHCsTriple(
+        mms_case=mms, model=model, regularization_factor=50.0
+    )
+    fld = FieldRegHCsTriple(
+        grid=g, model=model, forcing=forcing, regularization_factor=50.0
+    )
+    integ = PCTrapezoidalRegHCsTriple(
+        fld, regularization_factor=50.0, linear_solver="direct"
+    )
+    mesh = make_mesh((8,), ("x",))
+    with pytest.raises(NotImplementedError, match="not shardable"):
+        build_sharded_step(integ, mesh)
+    with pytest.raises(NotImplementedError, match="not shardable"):
+        build_sharded_simulation(
+            integ, mesh, mms_case=mms, num_steps=2, t0=0.0, dt=1e-3
+        )
