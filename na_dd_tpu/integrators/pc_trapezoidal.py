@@ -411,9 +411,9 @@ class PCTrapezoidalBase:
             if self.linear_solver == "direct":
                 # f32 BCR inner solve: each refinement pass contracts the f64
                 # residual by ~f32 eps, independent of stiffness (no budget).
-                from na_dd_tpu.ops.direct_solve import stencil5_solve_direct
+                from na_dd_tpu.ops.direct_solve import stencil5_solve_direct_ops
 
-                x32 = stencil5_solve_direct(st32, b32, mask32)
+                x32 = stencil5_solve_direct_ops(ops, st32, b32, mask32)
                 return x32, {
                     "iters": jnp.asarray(1, dtype=jnp.int32),
                     "resnorm_sq": jnp.asarray(0.0, dtype=b32.dtype),
@@ -505,10 +505,10 @@ class PCTrapezoidalBase:
             """Exact BCR direct solve (linear_solver='direct'); see
             ops/direct_solve.py for the TPU rationale vs the reference's
             SuperLU spsolve (src/prob1base.py:2109-2130)."""
-            from na_dd_tpu.ops.direct_solve import stencil5_solve_direct
+            from na_dd_tpu.ops.direct_solve import stencil5_solve_direct_ops
 
             b = rhs * mask
-            x = stencil5_solve_direct(st, b, mask)
+            x = stencil5_solve_direct_ops(ops, st, b, mask)
             r = (b - st.apply(ops, x)) * mask
             rsq = dot(r, r)
             tol = self.krylov_tol

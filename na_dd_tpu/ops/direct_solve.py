@@ -224,3 +224,24 @@ def stencil5_solve_direct(st: Stencil5, b, mask):
     x = jnp.zeros_like(b)
     x = x.at[1:-1, 1:-1].set(x_int)
     return x * mask
+
+
+def stencil5_solve_direct_ops(ops, st: Stencil5, b, mask):
+    """Location-transparent direct solve: exact on LOCAL_OPS and inside a
+    ``shard_map`` region alike.
+
+    BCR addresses whole grid rows with raw indexing, so it cannot run on a
+    shard the way the matrix-free Krylov solvers do.  Under sharding this
+    wrapper *replicates* the solve: all-gather the five stencil planes, the
+    rhs, and the mask to every device (``Ops.gather_full``), run the full-grid
+    BCR locally, and slice this device's shard back out.  Each device spends
+    the full O(N·M³) solve FLOPs — acceptable for the robustness backstop the
+    direct mode is (module docstring), and exact: the gathered system is
+    bitwise the single-device system, so sharded-direct == local-direct.
+    On LOCAL_OPS gather/slice are identity and this is
+    :func:`stencil5_solve_direct` verbatim."""
+    st_full = Stencil5(*(ops.gather_full(p) for p in st))
+    b_full = ops.gather_full(b)
+    mask_full = ops.gather_full(mask)
+    x_full = stencil5_solve_direct(st_full, b_full, mask_full)
+    return ops.local_slice(x_full)

@@ -50,6 +50,20 @@ class Ops:
     def amax(self, u):  # pragma: no cover - interface
         raise NotImplementedError
 
+    # -- whole-array access (for solvers that need the full grid) ---------
+    # Matrix-free solvers never need these: shifts + reductions cover them.
+    # The assembled *direct* solve (ops/direct_solve.py) addresses whole
+    # grid rows, so under sharding it gathers the global array, solves
+    # replicated, and slices its shard back out.  Locally both are identity.
+
+    def gather_full(self, u):
+        """Return the full global array (identity on a single device)."""
+        return u
+
+    def local_slice(self, u_full):
+        """This device's shard of a full global array (identity locally)."""
+        return u_full
+
 
 def _zeros_row_like(u):
     return jnp.zeros_like(u[:1, :])

@@ -88,3 +88,26 @@ class HaloOps(Ops):
         if axes:
             m = jax.lax.pmax(m, axes)
         return m
+
+    # -- whole-array access (direct-solve support; see Ops docstring) ------
+    def gather_full(self, u):
+        """All-gather the global array: rows over axis_x, columns over
+        axis_y.  O(N·M) ICI bytes per call — used only by the replicated
+        direct solve, never on the matrix-free Krylov path."""
+        if self.axis_x is not None and self.nx > 1:
+            u = jax.lax.all_gather(u, self.axis_x, axis=0, tiled=True)
+        if self.axis_y is not None and self.ny > 1:
+            u = jax.lax.all_gather(u, self.axis_y, axis=1, tiled=True)
+        return u
+
+    def local_slice(self, u_full):
+        rows = u_full.shape[0] // self.nx
+        cols = u_full.shape[1] // self.ny
+        u = u_full
+        if self.axis_x is not None and self.nx > 1:
+            i = jax.lax.axis_index(self.axis_x)
+            u = jax.lax.dynamic_slice_in_dim(u, i * rows, rows, axis=0)
+        if self.axis_y is not None and self.ny > 1:
+            j = jax.lax.axis_index(self.axis_y)
+            u = jax.lax.dynamic_slice_in_dim(u, j * cols, cols, axis=1)
+        return u

@@ -4,7 +4,11 @@ The physics code (fields, integrators, Krylov solves, error norms) is written
 against the shift/sum Ops protocol, so sharding it is purely a matter of
 running it inside ``jax.shard_map`` with :class:`HaloOps` — stencil halos ride
 ICI via ``ppermute`` and every reduction (Krylov dot products, error norms)
-becomes a ``psum``.  No algorithmic change, no accuracy change.
+becomes a ``psum``.  No algorithmic change, no accuracy change.  The one
+non-matrix-free solver, ``linear_solver='direct'`` (BCR), runs *replicated*:
+it all-gathers the assembled planes, solves the full grid on every device,
+and slices its shard back out (ops/direct_solve.stencil5_solve_direct_ops)
+— exact, at the cost of duplicating the solve FLOPs per device.
 """
 
 from __future__ import annotations
@@ -17,20 +21,6 @@ from na_dd_tpu.parallel.halo import HaloOps
 from na_dd_tpu.parallel.sharding import grid_pspec
 
 # late import to avoid a cycle: harness imports integrators only.
-
-
-def _check_shardable(integrator):
-    """The BCR direct solver (ops/direct_solve.py) addresses whole grid rows
-    with raw indexing — it never goes through the shift/sum Ops protocol, so
-    inside shard_map it would factorize each LOCAL shard as if its halo
-    couplings were boundaries and return silently wrong solves.  Refuse."""
-    if getattr(integrator, "linear_solver", "krylov") == "direct":
-        raise NotImplementedError(
-            "linear_solver='direct' is not shardable: block cyclic reduction "
-            "needs the full row dimension on every device (a distributed BCR "
-            "would be all-gathers, not halos).  Use the Krylov solvers "
-            "(matrix-free, halo-native) for sharded runs."
-        )
 
 
 def _make_halo_ops(mesh, axis_x, axis_y):
@@ -48,7 +38,6 @@ def build_sharded_step(integrator, mesh, *, axis_x="x", axis_y=None):
     """Jitted (grid, state, t, dt) -> (state', diag_scalars) over the mesh."""
     from na_dd_tpu.harness.trial import _scan_step
 
-    _check_shardable(integrator)
     hops = _make_halo_ops(mesh, axis_x, axis_y)
     spec = grid_pspec(axis_x, axis_y)
 
@@ -90,7 +79,6 @@ def build_sharded_simulation(
     """
     from na_dd_tpu.harness.trial import _collect_errors, _scan_step
 
-    _check_shardable(integrator)
     hops = _make_halo_ops(mesh, axis_x, axis_y)
     spec = grid_pspec(axis_x, axis_y)
     variable_names = tuple(variable_names)

@@ -231,12 +231,16 @@ def test_sharded_mixed_precision_step_matches_local():
         )
 
 
-def test_direct_solver_refused_in_sharded_builders():
-    """linear_solver='direct' must be rejected by both sharded builders: the
-    BCR solve addresses whole grid rows with raw indexing (never the Ops
-    halo protocol), so inside shard_map it would factorize each local shard
-    against zero halos and return silently wrong solves."""
-    g, model, mms, _, s0 = _mk()
+@pytest.mark.parametrize("mesh_shape", [(8,), (4, 2)])
+def test_sharded_direct_solver_matches_local(mesh_shape):
+    """linear_solver='direct' under shard_map: BCR cannot run per-shard (it
+    addresses whole grid rows with raw indexing), so the sharded path
+    replicates it — all-gather the assembled planes, full-grid BCR on every
+    device, slice the local shard back out
+    (ops/direct_solve.stencil5_solve_direct_ops).  The gathered system is
+    bitwise the single-device system, so the step must match local exactly
+    (only the residual-diagnostic psums carry summation-order noise)."""
+    g, model, mms, _, s0 = _mk(N=7, M=7)
     forcing = MMSForcingRegHCsTriple(
         mms_case=mms, model=model, regularization_factor=50.0
     )
@@ -244,12 +248,56 @@ def test_direct_solver_refused_in_sharded_builders():
         grid=g, model=model, forcing=forcing, regularization_factor=50.0
     )
     integ = PCTrapezoidalRegHCsTriple(
-        fld, regularization_factor=50.0, linear_solver="direct"
+        fld, regularization_factor=50.0, linear_solver="direct",
+        num_newton_steps=2,
+    )
+    s1_local = integ.step(s0, t0=0.0, dt=1e-3)
+
+    if len(mesh_shape) == 1:
+        mesh = make_mesh(mesh_shape, ("x",))
+        gs, ss = shard_grid_and_state(mesh, g, s0)
+        step = build_sharded_step(integ, mesh)
+    else:
+        mesh = make_mesh(mesh_shape, ("x", "y"))
+        gs, ss = shard_grid_and_state(mesh, g, s0, axis_x="x", axis_y="y")
+        step = build_sharded_step(integ, mesh, axis_x="x", axis_y="y")
+    s1_sh, diag = step(gs, ss, 0.0, 1e-3)
+    assert bool(diag["krylov_converged"])
+    for v in State._fields:
+        d = np.max(
+            np.abs(np.asarray(getattr(s1_local, v)) - np.asarray(getattr(s1_sh, v)))
+        )
+        assert d < 1e-13, f"{v}: {d}"
+
+
+def test_sharded_mixed_direct_step_matches_local():
+    """precision='mixed' + linear_solver='direct' sharded: f32 replicated BCR
+    inner solves under f64 refinement residuals must match the local mixed
+    direct step."""
+    g, model, mms, _, s0 = _mk(N=7, M=7)
+    forcing = MMSForcingRegHCsTriple(
+        mms_case=mms, model=model, regularization_factor=50.0
+    )
+    fld = FieldRegHCsTriple(
+        grid=g, model=model, forcing=forcing, regularization_factor=50.0
+    )
+    integ = PCTrapezoidalRegHCsTriple(
+        fld, regularization_factor=50.0, linear_solver="direct",
+        precision="mixed", num_newton_steps=2,
+    )
+    s_local, _ = jax.jit(integ.step_fn, static_argnums=1)(
+        g, LOCAL_OPS, s0, 0.0, 1e-3
     )
     mesh = make_mesh((8,), ("x",))
-    with pytest.raises(NotImplementedError, match="not shardable"):
-        build_sharded_step(integ, mesh)
-    with pytest.raises(NotImplementedError, match="not shardable"):
-        build_sharded_simulation(
-            integ, mesh, mms_case=mms, num_steps=2, t0=0.0, dt=1e-3
+    gs, ss = shard_grid_and_state(mesh, g, s0)
+    step = build_sharded_step(integ, mesh)
+    s_sh, diag = step(gs, ss, 0.0, 1e-3)
+    assert bool(diag["krylov_converged"])
+    for v in State._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_sh, v)),
+            np.asarray(getattr(s_local, v)),
+            rtol=0,
+            atol=1e-12,
+            err_msg=v,
         )
