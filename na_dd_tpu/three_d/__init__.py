@@ -1,0 +1,68 @@
+"""3-D extension of the discretization layer (beyond-reference capability).
+
+The reference framework is strictly 2-D (every operator in
+src/prob1base.py:1499-1581 is a row/column shift on (N+1, M+1) arrays).
+This package extends the framework's shift-protocol design to
+(N+1, M+1, P+1) tensor-product grids with the SAME structure at every
+layer, demonstrating that the 2-D design generalizes mechanically:
+
+* :mod:`shifts`   — six zero-filling axis shifts + global reductions
+  (``Ops3`` protocol): ``LocalOps3`` single-device, ``HaloOps3`` inside
+  ``jax.shard_map`` over a 2-D device mesh (x/y sharded via ``ppermute``
+  halos; the z axis stays on-device — it is the minor-most array axis,
+  i.e. the TPU lane dimension, where shifts are register traffic).
+* :mod:`grid`     — ``Grid3`` with the 0-sentinel reciprocal-metric design
+  of :mod:`na_dd_tpu.ops.grid` (no inf sentinels, masked whole-array
+  quadrature weights, global-parity mask for diagonal probing).
+* :mod:`stencils` — the mimetic staggered operators per axis.
+* :mod:`diffusion` — 7-point assembled stencils (``Stencil7``), exact
+  closed-form diffusion planes, and a Crank–Nicolson heat step driven by
+  the SAME matrix-free BiCGStab solvers as the 2-D framework
+  (ops/linsolve.py is shape-agnostic: solvers see only elementwise
+  algebra, a ``matvec`` callback, and a ``dot``).
+"""
+
+from na_dd_tpu.three_d.diffusion import (
+    Stencil7,
+    crank_nicolson_heat_step,
+    diffusion_planes3,
+    heat_mms_error,
+)
+from na_dd_tpu.three_d.grid import Grid3, make_grid3, make_uniform_grid3
+from na_dd_tpu.three_d.shifts import LOCAL_OPS3, HaloOps3, LocalOps3, Ops3
+from na_dd_tpu.three_d.stencils import (
+    Dx_reg3,
+    Dx_star3,
+    Dy_reg3,
+    Dy_star3,
+    Dz_reg3,
+    Dz_star3,
+    Mx3,
+    My3,
+    Mz3,
+    grad_H3,
+)
+
+__all__ = [
+    "Grid3",
+    "HaloOps3",
+    "LOCAL_OPS3",
+    "LocalOps3",
+    "Ops3",
+    "Stencil7",
+    "crank_nicolson_heat_step",
+    "diffusion_planes3",
+    "heat_mms_error",
+    "make_grid3",
+    "make_uniform_grid3",
+    "Mx3",
+    "My3",
+    "Mz3",
+    "Dx_reg3",
+    "Dy_reg3",
+    "Dz_reg3",
+    "Dx_star3",
+    "Dy_star3",
+    "Dz_star3",
+    "grad_H3",
+]

@@ -1,0 +1,148 @@
+"""Tensor-product grid on [0,1]³ as an immutable JAX pytree.
+
+The 3-D counterpart of :mod:`na_dd_tpu.ops.grid`, with the same two design
+decisions that make the 2-D grid XLA/TPU-safe and shardable:
+
+1. **No ``inf`` sentinels** — reciprocal metric arrays (``inv_hh`` etc.)
+   that are exactly 0 where a division would hit the boundary, so every
+   consumer multiplies (``inf * 0 = nan`` traps never arise under AD/XLA).
+2. **Everything is a full (N+1, M+1, P+1) array** — quadrature uses the
+   precomputed masked weight ``w_H`` so reductions are whole-array sums
+   (``psum`` of local sums under sharding; no boundary slicing).
+
+Only what the 3-D diffusion layer needs is carried; the 2-D grid's staggered
+per-axis weight planes (w_pk / w_hp) generalize the same way when needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Grid3:
+    # --- coordinates (broadcast to the full (N+1, M+1, P+1) shape) ---
+    xx: jax.Array
+    yy: jax.Array
+    zz: jax.Array
+    # --- metric arrays (0-sentinel; see module docstring) ---
+    inv_hh: jax.Array  # 1/h_i at [i,:,:]; 0 at i = 0
+    inv_kk: jax.Array  # 1/k_j; 0 at j = 0
+    inv_ll: jax.Array  # 1/l_k; 0 at k = 0
+    inv_hh_phalf: jax.Array  # 1/h_{i+1/2}; 0 at i = 0, N
+    inv_kk_phalf: jax.Array  # 1/k_{j+1/2}; 0 at j = 0, M
+    inv_ll_phalf: jax.Array  # 1/l_{k+1/2}; 0 at k = 0, P
+    # --- masks and inner-product weight ---
+    interior_mask: jax.Array  # 1 on the open interior, 0 on the boundary
+    mask_x1: jax.Array  # 0 on plane i = 0, 1 elsewhere
+    mask_y1: jax.Array  # 0 on plane j = 0
+    mask_z1: jax.Array  # 0 on plane k = 0
+    w_H: jax.Array  # h_{i+1/2} k_{j+1/2} l_{k+1/2} on the interior, 0 elsewhere
+    red_mask: jax.Array  # 1 where (i+j+k) even — 7-point stencils flip parity
+    # --- static metadata ---
+    N: int = dataclasses.field(metadata=dict(static=True))
+    M: int = dataclasses.field(metadata=dict(static=True))
+    P: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def full_shape(self):
+        return (self.N + 1, self.M + 1, self.P + 1)
+
+    def make_full0(self):
+        # zeros_like (not zeros(full_shape)) so it stays correct on sharded
+        # blocks inside shard_map, where self.xx is the local shard.
+        return jnp.zeros_like(self.xx)
+
+
+def make_grid3(x: np.ndarray, y: np.ndarray, z: np.ndarray, dtype=None) -> Grid3:
+    """Build a :class:`Grid3` from 1-D node coordinate vectors (non-uniform
+    spacings supported; all metrics precomputed host-side in f64)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64)
+    assert x.ndim == y.ndim == z.ndim == 1
+    N, M, P = len(x) - 1, len(y) - 1, len(z) - 1
+    assert min(N, M, P) >= 2, "grid needs at least one interior point per axis"
+    assert np.all(np.diff(x) > 0) and np.all(np.diff(y) > 0) and np.all(np.diff(z) > 0)
+
+    shape = (N + 1, M + 1, P + 1)
+    xx, yy, zz = np.meshgrid(x, y, z, indexing="ij")
+
+    def spacings(c):
+        n = len(c) - 1
+        h = np.concatenate([[0.0], np.diff(c)])  # h[i] = c_i - c_{i-1}, i>=1
+        h_phalf = np.zeros(n + 1)
+        h_phalf[1:n] = 0.5 * (h[1:n] + h[2 : n + 1])
+        return h, h_phalf
+
+    h, h_phalf = spacings(x)
+    k, k_phalf = spacings(y)
+    l, l_phalf = spacings(z)
+
+    def safe_recip(a):
+        out = np.zeros_like(a)
+        nz = a != 0.0
+        out[nz] = 1.0 / a[nz]
+        return out
+
+    def bx(v):
+        return np.broadcast_to(v[:, None, None], shape).copy()
+
+    def by(v):
+        return np.broadcast_to(v[None, :, None], shape).copy()
+
+    def bz(v):
+        return np.broadcast_to(v[None, None, :], shape).copy()
+
+    interior_mask = np.zeros(shape)
+    interior_mask[1:-1, 1:-1, 1:-1] = 1.0
+    mask_x1 = np.ones(shape)
+    mask_x1[0] = 0.0
+    mask_y1 = np.ones(shape)
+    mask_y1[:, 0] = 0.0
+    mask_z1 = np.ones(shape)
+    mask_z1[:, :, 0] = 0.0
+
+    w_H = bx(h_phalf) * by(k_phalf) * bz(l_phalf) * interior_mask
+
+    ii, jj, kk = np.meshgrid(
+        np.arange(N + 1), np.arange(M + 1), np.arange(P + 1), indexing="ij"
+    )
+    red_mask = ((ii + jj + kk) % 2 == 0).astype(np.float64)
+
+    dev = lambda a: jnp.asarray(a, dtype=dtype or jnp.result_type(float))
+    return Grid3(
+        xx=dev(xx),
+        yy=dev(yy),
+        zz=dev(zz),
+        inv_hh=dev(bx(safe_recip(h))),
+        inv_kk=dev(by(safe_recip(k))),
+        inv_ll=dev(bz(safe_recip(l))),
+        inv_hh_phalf=dev(bx(safe_recip(h_phalf))),
+        inv_kk_phalf=dev(by(safe_recip(k_phalf))),
+        inv_ll_phalf=dev(bz(safe_recip(l_phalf))),
+        interior_mask=dev(interior_mask),
+        mask_x1=dev(mask_x1),
+        mask_y1=dev(mask_y1),
+        mask_z1=dev(mask_z1),
+        w_H=dev(w_H),
+        red_mask=dev(red_mask),
+        N=N,
+        M=M,
+        P=P,
+    )
+
+
+def make_uniform_grid3(N: int, M: int, P: int, dtype=None) -> Grid3:
+    """Uniform grid on [0,1]³."""
+    return make_grid3(
+        np.linspace(0.0, 1.0, N + 1),
+        np.linspace(0.0, 1.0, M + 1),
+        np.linspace(0.0, 1.0, P + 1),
+        dtype,
+    )
