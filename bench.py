@@ -101,14 +101,20 @@ def run_single():
         ),
     )
 
-    # First call compiles + runs; second call measures steady-state.
+    # First call compiles + runs; steady-state is the MIN over several timed
+    # calls: the device is tunneled, so a single run carries tens of ms of
+    # host<->device latency jitter (measured spread 0.030-0.063 s on the same
+    # 0.03 s program) — min over repeats estimates the compute time.
+    repeats = int(os.environ.get("BENCH_REPEATS", "5"))
     t0 = time.perf_counter()
     summary = trial.run_for_errors(Tf=Tf, dt=dt)
     first = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    summary = trial.run_for_errors(Tf=Tf, dt=dt)
-    steady = time.perf_counter() - t0
+    steady = float("inf")
+    for _ in range(max(repeats, 1)):
+        t0 = time.perf_counter()
+        summary = trial.run_for_errors(Tf=Tf, dt=dt)
+        steady = min(steady, time.perf_counter() - t0)
 
     err = summary.overall_combined_error
     mode = (

@@ -379,9 +379,13 @@ def _pick_row_tile(shape, dtype, live_planes: int = 7) -> int:
 
 def _make_stencil5_tiled_kernel(R: int, T: int):
     """Row-tiled stencil kernel body.  Each program owns rows
-    [i·T, (i+1)·T); the x-shift halos arrive as two single-row blocks (the
-    last row of the block above, the first row of the block below), fetched
-    by block-index maps — no manual DMA, and u itself is read exactly once.
+    [i·T, (i+1)·T); the x-shift halos arrive as two HALO_ROWS-row blocks (the
+    block of 8 rows ending at the tile's first row, and the one starting at
+    the row past its last), fetched by block-index maps — no manual DMA, and
+    u itself is read exactly once.  Mosaic requires the sublane block dim to
+    be a multiple of 8 (single-row halo blocks fail to lower on real TPU —
+    caught by studies/scale_probe.py at N=1024), so each halo block carries 8
+    rows and the kernel statically slices the one row it needs.
 
     The ragged last block (R is N+1, never a tile multiple) is handled by
     zero-masking u's out-of-range rows on load: Mosaic's block padding is
@@ -399,9 +403,10 @@ def _make_stencil5_tiled_kernel(R: int, T: int):
         row_ids = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0) + row0
         u = jnp.where(row_ids < R, u, zero)
         # halo rows (zero-inflow outside the grid, exactly the shift-op
-        # semantics of the single-block kernel)
-        up = jnp.where(i > 0, up_ref[:], zero)
-        dn = jnp.where(row0 + T <= R - 1, dn_ref[:], zero)
+        # semantics of the single-block kernel): last row of the 8-row block
+        # above, first row of the 8-row block below
+        up = jnp.where(i > 0, up_ref[:][-1:, :], zero)
+        dn = jnp.where(row0 + T <= R - 1, dn_ref[:][:1, :], zero)
         u_xm = jnp.concatenate([up, u[:-1, :]], axis=0)
         u_xp = jnp.concatenate([u[1:, :], dn], axis=0)
         zcol = jnp.zeros_like(u[:, :1])
@@ -430,6 +435,10 @@ def stencil5_apply_tiled(stencil, u, *, row_tile: int | None = None,
     (same FMA order), any problem size."""
     R, W = u.shape
     T = row_tile or _pick_row_tile(u.shape, u.dtype)
+    assert T >= 8 and T % 8 == 0, (
+        f"row_tile must be a positive multiple of 8 (Mosaic sublane tiling), "
+        f"got {T}"
+    )
     grid = (-(-R // T),)
 
     kwargs = {}
@@ -446,9 +455,17 @@ def stencil5_apply_tiled(stencil, u, *, row_tile: int | None = None,
             return pl.BlockSpec((block_rows, W), index_map)
         return pl.BlockSpec((block_rows, W), index_map, memory_space=space)
 
+    # Halo blocks are 8 rows (the f32 sublane tile): Mosaic rejects block
+    # shapes whose sublane dim is neither a multiple of 8 nor the full array
+    # dim.  T is a power of two >= 8, so T // HB block indices line up: the
+    # block ENDING at row i·T is i·(T//HB) - 1, the one STARTING at (i+1)·T
+    # is (i+1)·(T//HB); clamped at the edges (kernel masks the halo to zero
+    # there, so the clamped block's contents never matter).
+    HB = 8
+    nb = T // HB
     tile_spec = row_spec(T, lambda i: (i, 0))
-    up_spec = row_spec(1, lambda i: (jnp.maximum(i * T - 1, 0), 0))
-    dn_spec = row_spec(1, lambda i: (jnp.minimum((i + 1) * T, R - 1), 0))
+    up_spec = row_spec(HB, lambda i: (jnp.maximum(i * nb - 1, 0), 0))
+    dn_spec = row_spec(HB, lambda i: (jnp.minimum((i + 1) * nb, (R - 1) // HB), 0))
 
     return pl.pallas_call(
         _make_stencil5_tiled_kernel(R, T),

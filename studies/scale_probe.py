@@ -92,11 +92,20 @@ def main():
             else "tiled_apply"
         )
         for backend in ("jnp", "pallas"):
-            row[backend] = run_one(cfg, mc, N, dt, Tf, tier, backend)
-        ej, ep = row["jnp"]["error"], row["pallas"]["error"]
-        row["cross_backend_rel"] = abs(ep - ej) / max(abs(ej), 1e-300)
+            try:
+                row[backend] = run_one(cfg, mc, N, dt, Tf, tier, backend)
+            except Exception as exc:  # keep probing the other tiers/sizes
+                import traceback
+
+                traceback.print_exc()
+                row[backend] = {"error": None, "failed": repr(exc)[:500]}
+            print(json.dumps({"N": N, backend: row[backend]}), flush=True)
+        ej = row["jnp"].get("error")
+        ep = row["pallas"].get("error")
+        if ej is not None and ep is not None:
+            row["cross_backend_rel"] = abs(ep - ej) / max(abs(ej), 1e-300)
         out["configs"].append(row)
-        print(json.dumps(row))
+        print(json.dumps(row), flush=True)
 
     res = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
     os.makedirs(res, exist_ok=True)
