@@ -13,6 +13,7 @@ src/mms_trial_utils.py:15-53 exactly.
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict, List, NamedTuple, Optional, Type
 
 import jax
@@ -90,6 +91,7 @@ def run_simulation_collect_data(
     ops: Ops = LOCAL_OPS,
     traced_dt: bool = False,
     pad_steps: Optional[int] = None,
+    traced_grid: Optional[bool] = None,
 ):
     """Run from t0 to Tf collecting per-step error norms.
 
@@ -106,7 +108,23 @@ def run_simulation_collect_data(
     exact) and the scan runs a fixed ``pad_steps >= num_steps`` length — the
     overrun steps integrate past Tf and their rows are discarded host-side —
     so ONE compiled program serves every level of a fixed-grid dt ladder.
+
+    traced_grid — pass the Grid pytree as a traced jit ARGUMENT instead of
+    closing over it.  Closed-over grids bake every metric plane into the
+    StableHLO module as dense constants: ~16 N²-sized arrays, 136 MB of
+    module text at N=1024 f32 and 539 MB at N=2048 (measured), which bloats
+    the compilation cache, slows every compile, and overflows this
+    environment's remote-compile request limit at N=2048 (HTTP 413).  With
+    traced_grid the module stays KB-sized at any N; the arithmetic is
+    identical but XLA can no longer constant-fold metric-only expressions,
+    so the compiled program SHAPE changes — on the f64-emulation TPU backend
+    that can shift the program-shape-dependent noise floor (see CLAUDE.md),
+    hence default OFF for the parity-certified f64 study programs.  Default
+    from NA_DD_TPU_TRACED_GRID ("1" enables); recommended for large-N f32
+    production runs.
     """
+    if traced_grid is None:
+        traced_grid = os.environ.get("NA_DD_TPU_TRACED_GRID", "0") == "1"
     num_steps = math.ceil((Tf - t0) / dt)
     dt_adj = (Tf - t0) / num_steps
     variable_names = tuple(variable_names)
@@ -132,24 +150,25 @@ def run_simulation_collect_data(
         None if traced_dt else float(dt_adj),
         variable_names,
         integral_vars,
+        traced_grid,
     )
     simulate = cache.get(key)
     if simulate is None:
 
-        def collect(s, t):
+        def collect(g, s, t):
             return _collect_errors(
-                grid, ops, exact_sol_pack, s, t, variable_names, integral_vars
+                g, ops, exact_sol_pack, s, t, variable_names, integral_vars
             )
 
-        def simulate_impl(s0, dt_run):
+        def simulate_impl_g(g, s0, dt_run):
             def body(carry, k):
                 s = carry
                 t_k = t0 + k * dt_run
-                s1, small = _scan_step(integrator, grid, ops, s, t_k, dt_run)
-                h_sq, grad_sq = collect(s1, t_k + dt_run)
+                s1, small = _scan_step(integrator, g, ops, s, t_k, dt_run)
+                h_sq, grad_sq = collect(g, s1, t_k + dt_run)
                 return s1, (h_sq, grad_sq, small)
 
-            h0, g0 = collect(s0, t0)
+            h0, g0 = collect(g, s0, t0)
             ks = jnp.arange(P, dtype=jnp.result_type(float))
             _s_final, (h_sq, grad_sq, small) = jax.lax.scan(body, s0, ks)
             # Pack all outputs into THREE device buffers: through a tunneled
@@ -180,24 +199,43 @@ def run_simulation_collect_data(
             )
             return h_mat, g_mat, small_mat
 
-        if traced_dt:
+        # The wrappers keep the historical function NAMES of the
+        # non-traced-grid modes (the name feeds the XLA module name and hence
+        # the persistent compilation-cache key); the traced-grid modes get
+        # their own names so the cache distinguishes them.
+        if traced_dt and traced_grid:
+
+            def simulate_impl_tg(g, s0, dt_run):
+                return simulate_impl_g(g, s0, dt_run)
+
+            simulate = jax.jit(simulate_impl_tg)
+        elif traced_dt:
+
+            def simulate_impl(s0, dt_run):
+                return simulate_impl_g(grid, s0, dt_run)
+
             simulate = jax.jit(simulate_impl)
+        elif traced_grid:
+
+            def simulate_tg(g, s0):
+                return simulate_impl_g(g, s0, dt_adj)
+
+            simulate = jax.jit(simulate_tg)
         else:
-            # dt baked as a constant; the wrapper keeps the historical
-            # function NAME (it feeds the XLA module name and hence the
-            # persistent compilation-cache key)
+
             def simulate(s0):
-                return simulate_impl(s0, dt_adj)
+                return simulate_impl_g(grid, s0, dt_adj)
 
             simulate = jax.jit(simulate)
 
         cache[key] = simulate
 
+    g_args = (grid,) if traced_grid else ()
     if traced_dt:
         dt_arr = jnp.full((1, 1), dt_adj, dtype=jnp.result_type(float))
-        out = simulate(initial_state, dt_arr)
+        out = simulate(*g_args, initial_state, dt_arr)
     else:
-        out = simulate(initial_state)
+        out = simulate(*g_args, initial_state)
     h_mat, g_mat, small_mat = jax.device_get(out)
     # discard the padded overrun rows (they integrated past Tf)
     h_mat = h_mat[:, : num_steps + 1]
@@ -347,6 +385,7 @@ class MMSTrial:
         *,
         traced_dt: bool = False,
         pad_steps: Optional[int] = None,
+        traced_grid: Optional[bool] = None,
     ) -> NumericalErrorSummary:
         series, dt_adj = run_simulation_collect_data(
             grid=self.grid,
@@ -361,6 +400,7 @@ class MMSTrial:
             ops=self.ops,
             traced_dt=traced_dt,
             pad_steps=pad_steps,
+            traced_grid=traced_grid,
         )
         return NumericalErrorSummary(
             dt_used=dt_adj,

@@ -364,15 +364,25 @@ def bicgstab_solve_pallas(
 
 def _pick_row_tile(shape, dtype, live_planes: int = 7) -> int:
     """Largest power-of-two row-tile whose working set (``live_planes``
-    row-blocks at padded lane width) fits the VMEM budget; minimum 8 (the
-    f32 sublane tile)."""
+    row-blocks at padded lane width, DOUBLE-buffered) fits the VMEM budget;
+    minimum 8 (the f32 sublane tile).
+
+    The ×2 is Mosaic's grid pipelining: while program i computes, program
+    i+1's blocks are prefetched, so every grid-mapped block needs two VMEM
+    slots.  Without it the N=1024 f32 tiled apply budgeted 8.3 MB but XLA's
+    scoped-vmem accounting demanded 15.9 MB against the 14 MB limit and the
+    whole program failed to compile (caught by studies/scale_probe.py on
+    hardware under traced-grid operands)."""
     import numpy as np
 
     rows, cols = shape
     cols_padded = -(-cols // 128) * 128
     itemsize = np.dtype(dtype).itemsize
     tile = 512
-    while tile > 8 and tile * cols_padded * itemsize * live_planes > _VMEM_LIMIT_BYTES:
+    while (
+        tile > 8
+        and 2 * tile * cols_padded * itemsize * live_planes > _VMEM_LIMIT_BYTES
+    ):
         tile //= 2
     return tile
 

@@ -21,6 +21,12 @@ import os
 import sys
 
 os.environ["NA_DD_TPU_X64"] = "0"  # f32 production mode
+# grid as traced jit argument: closed-over grids bake ~16 N^2-sized metric
+# planes into the module as dense constants (539 MB of module text at
+# N=2048), which overflows this environment's remote-compile request limit
+# (HTTP 413) and bloats the compile cache.  Bit-identical on CPU; the f32
+# probe gates accuracy by cross-backend agreement anyway.
+os.environ.setdefault("NA_DD_TPU_TRACED_GRID", "1")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -106,6 +106,30 @@ def test_traced_dt_padded_scan_matches_baked():
     assert len(baked.integrator._sim_cache) == 3
 
 
+def test_traced_grid_matches_baked():
+    """traced_grid=True passes the Grid pytree as a jit argument instead of
+    baking its ~16 metric planes into the module as N²-sized dense constants
+    (which bloat compiles and overflow the remote-compile limit at N=2048).
+    Same arithmetic, exactly the same result."""
+    from na_dd_tpu.harness.studies import _make_trial, study_consts
+    from na_dd_tpu.mms import cases as mms_cases
+
+    mc = study_consts("pol")
+    Tf, dt = 0.01, 2e-3
+    baked = _make_trial(mms_cases.MMSCasePol, 8, 50.0, mc=mc, krylov_unroll=8)
+    traced = _make_trial(mms_cases.MMSCasePol, 8, 50.0, mc=mc, krylov_unroll=8)
+    eb = baked.run_for_errors(Tf=Tf, dt=dt).overall_combined_error
+    et = traced.run_for_errors(
+        Tf=Tf, dt=dt, traced_grid=True
+    ).overall_combined_error
+    assert abs(et - eb) <= 1e-12 * abs(eb), (eb, et)
+    # composes with the temporal compile-sharing mode
+    et2 = traced.run_for_errors(
+        Tf=Tf, dt=dt, traced_dt=True, pad_steps=5, traced_grid=True
+    ).overall_combined_error
+    assert abs(et2 - eb) <= 1e-10 * abs(eb), (eb, et2)
+
+
 def test_guide_exponent_sign_follows_ladder_direction():
     """Spatial ladders (x=N grows, error falls) get a NEGATIVE exponent;
     temporal ladders (x=dt shrinks level-to-level, error falls with dt) get a
