@@ -118,8 +118,12 @@ def run_simulation_collect_data(
     traced_grid the module stays KB-sized at any N; the arithmetic is
     identical but XLA can no longer constant-fold metric-only expressions,
     so the compiled program SHAPE changes — on the f64-emulation TPU backend
-    that can shift the program-shape-dependent noise floor (see CLAUDE.md),
-    hence default OFF for the parity-certified f64 study programs.  Default
+    that shifts the program-shape-dependent noise floor (see CLAUDE.md):
+    measured A/B on the chip (pol N=256 f64), traced-grid lands 3.2e-8
+    relative from the baked-grid value — far inside the reproduction
+    tolerance but outside the strict 1e-8 parity gate, hence default OFF for
+    the parity-certified f64 study programs (f64 compile time is dominated
+    by the emulation expansion anyway: 111 s either way at N=256).  Default
     from NA_DD_TPU_TRACED_GRID ("1" enables); recommended for large-N f32
     production runs.
     """
