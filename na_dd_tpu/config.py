@@ -70,12 +70,14 @@ def stabilize_pallas_cache_keys() -> None:
     gives identical module text, but a 1-line shift in the kernel file
     changes only the serialized Mosaic ``body`` payload.
 
-    This wraps ``_lower_mosaic_module_to_asm`` to run MLIR's standard
-    ``strip-debuginfo`` pass on a clone of the kernel module before
-    serialization.  Locations are metadata only — Mosaic compiles the
-    stripped module identically; the cost is less precise source lines in
-    Mosaic error messages.  Opt out with NA_DD_TPU_STRIP_KERNEL_DEBUG=0
-    (e.g. when debugging a kernel lowering failure)."""
+    This wraps ``_lower_mosaic_module_to_asm`` to round-trip the kernel
+    module through MLIR bytecode emitted with ``enable_debug_info=False``
+    (re-parsed in the same context; the temporary
+    ``allow_unregistered_dialects`` toggle mirrors jax's own serialization
+    helper).  Locations are metadata only — Mosaic compiles the stripped
+    module identically; the cost is less precise source lines in Mosaic
+    error messages.  Opt out with NA_DD_TPU_STRIP_KERNEL_DEBUG=0 (e.g. when
+    debugging a kernel lowering failure)."""
     global _MOSAIC_STRIP_INSTALLED
     if _MOSAIC_STRIP_INSTALLED:
         return
@@ -83,10 +85,12 @@ def stabilize_pallas_cache_keys() -> None:
         return
     try:
         from jax._src import tpu_custom_call as _tcc
-    except ImportError:  # pragma: no cover - future jax refactors
-        return
 
-    inner = _tcc._lower_mosaic_module_to_asm
+        inner = _tcc._lower_mosaic_module_to_asm
+    except (ImportError, AttributeError):  # pragma: no cover - jax refactors
+        # private jax symbol moved/renamed: degrade to unstabilized keys
+        # rather than crashing every TPU script at cache setup
+        return
 
     def stripped(module, **kwargs):
         try:

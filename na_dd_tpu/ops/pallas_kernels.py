@@ -440,9 +440,11 @@ def stencil5_apply_tiled(stencil, u, *, row_tile: int | None = None,
 
     Grid over row-blocks of ``row_tile`` rows; per program the five
     coefficient tiles + the operand tile live in VMEM while the two x-halo
-    rows are fetched as (1, W) blocks from the neighbouring row-blocks.
-    Bit-identical to the single-block kernel / ``stencil.apply(LOCAL_OPS,·)``
-    (same FMA order), any problem size."""
+    rows arrive inside (8, W) blocks from the neighbouring row-blocks (8 =
+    the Mosaic sublane tile — single-row blocks fail to lower on real TPU;
+    the kernel slices out the one row it needs).  Bit-identical to the
+    single-block kernel / ``stencil.apply(LOCAL_OPS,·)`` (same FMA order),
+    any problem size."""
     R, W = u.shape
     T = row_tile or _pick_row_tile(u.shape, u.dtype)
     assert T >= 8 and T % 8 == 0, (

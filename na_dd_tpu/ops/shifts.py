@@ -54,15 +54,18 @@ class Ops:
     # Matrix-free solvers never need these: shifts + reductions cover them.
     # The assembled *direct* solve (ops/direct_solve.py) addresses whole
     # grid rows, so under sharding it gathers the global array, solves
-    # replicated, and slices its shard back out.  Locally both are identity.
+    # replicated, and slices its shard back out.  Abstract like the shifts:
+    # an Ops implementation that forgot these would otherwise inherit
+    # identity behaviour and make the sharded direct solve factorize each
+    # local shard against zero halos — a silently wrong solve.
 
-    def gather_full(self, u):
+    def gather_full(self, u):  # pragma: no cover - interface
         """Return the full global array (identity on a single device)."""
-        return u
+        raise NotImplementedError
 
-    def local_slice(self, u_full):
+    def local_slice(self, u_full):  # pragma: no cover - interface
         """This device's shard of a full global array (identity locally)."""
-        return u_full
+        raise NotImplementedError
 
 
 def _zeros_row_like(u):
@@ -93,6 +96,12 @@ class LocalOps(Ops):
 
     def amax(self, u):
         return jnp.max(u)
+
+    def gather_full(self, u):
+        return u
+
+    def local_slice(self, u_full):
+        return u_full
 
 
 LOCAL_OPS = LocalOps()

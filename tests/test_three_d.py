@@ -151,5 +151,6 @@ def test_sharded_heat_step_matches_local():
     assert bool(info_sh["converged"])
     d = np.max(np.abs(np.asarray(u1_sh) - np.asarray(u1_local)))
     assert d < 1e-12, d
-    # same iteration count: the sharded solve IS the local solve numerically
-    assert int(info_sh["iters"]) == int(info_local["iters"])
+    # iteration counts may differ by at most one: psum reduction order can
+    # legitimately flip a tolerance comparison at the convergence boundary
+    assert abs(int(info_sh["iters"]) - int(info_local["iters"])) <= 1
