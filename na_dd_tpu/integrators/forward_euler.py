@@ -15,6 +15,11 @@ from na_dd_tpu.ops.shifts import LOCAL_OPS
 
 
 class ForwardEulerIntegrator:
+    #: Single-device ops provider for the eager ``.step()`` API.  The step
+    #: body itself is fully dimension-agnostic (it only evaluates the field),
+    #: so the 3-D subclass overrides nothing but this attribute.
+    _local_ops = LOCAL_OPS
+
     def __init__(self, semi_discrete_field, **_ignored):
         self.semi_discrete_field = semi_discrete_field
         # ops providers are static config (hashable singletons), not pytrees.
@@ -34,4 +39,4 @@ class ForwardEulerIntegrator:
     def step(self, at_t0: State, *, t0, dt) -> State:
         """Eager convenience API mirroring the reference integrator."""
         g = self.semi_discrete_field.grid
-        return self._jit_step(g, LOCAL_OPS, at_t0, t0, dt)
+        return self._jit_step(g, self._local_ops, at_t0, t0, dt)

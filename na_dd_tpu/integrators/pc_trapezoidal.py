@@ -112,7 +112,18 @@ def default_krylov_unroll() -> int | None:
 
 
 class PCTrapezoidalBase:
-    """Shared PC machinery; subclasses provide the cs predictor/corrector."""
+    """Shared PC machinery; subclasses provide the cs predictor/corrector.
+
+    Dimension-agnostic by design: the PC loop, the cp/cs predictors and
+    correctors, the Krylov drivers and the mixed-precision refinement all see
+    only pytrees, pointwise algebra, ``ops`` reductions and a stencil object
+    with ``.apply``/``.c0`` — the 3-D integrators
+    (:mod:`na_dd_tpu.three_d.integrator`) reuse everything here by overriding
+    just :meth:`_newton_planes` and :attr:`_local_ops`."""
+
+    #: Default single-device ops provider for the eager ``.step()`` API;
+    #: the 3-D subclasses override with LOCAL_OPS3.
+    _local_ops: Ops = LOCAL_OPS
 
     def __init__(
         self,
@@ -322,6 +333,12 @@ class PCTrapezoidalBase:
     def krylov_unroll(self, value: int | None) -> None:
         self._krylov_unroll = None if value is None else int(value)
 
+    def _newton_planes(self, g, ops, L, dt):
+        """Planes of the interior Newton operator 2·I − dt·L for a
+        self-Jacobian stencil ``L`` — the one dimension-specific hook in the
+        sweep (the 3-D integrators override with the Stencil7 builder)."""
+        return linsolve.newton_planes(g, ops, L, dt)
+
     # ------------------------------------------------------------------
     # cp predictor / corrector (shared across variants;
     # reference src/prob1base.py:2953-2996)
@@ -481,7 +498,9 @@ class PCTrapezoidalBase:
                     "must be f64 for the refinement residuals)"
                 )
             f32 = jnp.float32
-            st32 = linsolve.Stencil5(*(p.astype(f32) for p in st))
+            # type(st) (not Stencil5 literally): the identical refinement
+            # wrapper serves the 3-D integrators' Stencil7 planes.
+            st32 = type(st)(*(p.astype(f32) for p in st))
             inv32 = inv_diag.astype(f32)
             mask32 = mask.astype(f32)
             b = rhs * mask
@@ -610,9 +629,9 @@ class PCTrapezoidalBase:
                 fT0 = field.FT(g, ops, s, t1)
                 fcl0 = field.Fcl(g, ops, s, t1)
                 fcd0 = field.Fcd(g, ops, s, t1)
-                J_T = linsolve.newton_planes(g, ops, field.stencil_dFT_dT(g, ops, s), dt)
-                J_cl = linsolve.newton_planes(g, ops, field.stencil_dFcl_dcl(g, ops, s), dt)
-                J_cd = linsolve.newton_planes(g, ops, field.stencil_dFcd_dcd(g, ops, s), dt)
+                J_T = self._newton_planes(g, ops, field.stencil_dFT_dT(g, ops, s), dt)
+                J_cl = self._newton_planes(g, ops, field.stencil_dFcl_dcl(g, ops, s), dt)
+                J_cd = self._newton_planes(g, ops, field.stencil_dFcd_dcd(g, ops, s), dt)
                 inv = lambda st: jnp.where(  # noqa: E731
                     mask > 0, 1.0 / jnp.where(st.c0 == 0, 1.0, st.c0), 0.0
                 )
@@ -644,7 +663,7 @@ class PCTrapezoidalBase:
         if analytic:
             # FT is linear in T: closed-form planes + direct primal eval.
             fT0 = field.FT(g, ops, s, t1)
-            J_T = linsolve.newton_planes(g, ops, field.stencil_dFT_dT(g, ops, s), dt)
+            J_T = self._newton_planes(g, ops, field.stencil_dFT_dT(g, ops, s), dt)
             rhs_T = YT0 - (2.0 * s.T - dt * fT0)
             dT, info_T = solve_assembled(J_T, rhs_T)
         else:
@@ -668,7 +687,7 @@ class PCTrapezoidalBase:
                 fcl0, jvp_cl_T = jax.jvp(
                     lambda T: field.Fcl(g, ops, s._replace(T=T), t1), (s.T,), (wT,)
                 )
-            J_cl = linsolve.newton_planes(g, ops, field.stencil_dFcl_dcl(g, ops, s), dt)
+            J_cl = self._newton_planes(g, ops, field.stencil_dFcl_dcl(g, ops, s), dt)
             rhs_cl = Ycl0 - 2.0 * s.cl + dt * fcl0 + dt * jvp_cl_T
             dcl, info_cl = solve_assembled(J_cl, rhs_cl)
         else:
@@ -695,7 +714,7 @@ class PCTrapezoidalBase:
                     (s.T, s.cl),
                     (wT, wcl),
                 )
-            J_cd = linsolve.newton_planes(g, ops, field.stencil_dFcd_dcd(g, ops, s), dt)
+            J_cd = self._newton_planes(g, ops, field.stencil_dFcd_dcd(g, ops, s), dt)
             rhs_cd = Ycd0 - 2.0 * s.cd + dt * fcd0 + dt * jvp_cd_Tcl
             dcd, info_cd = solve_assembled(J_cd, rhs_cd)
         else:
@@ -821,7 +840,7 @@ class PCTrapezoidalBase:
     def step(self, at_t0: State, *, t0, dt) -> State:
         """Eager single-step API mirroring the reference integrator, including
         ``last_residual`` bookkeeping and the HCs positivity ValueError."""
-        new_state, diag = self._jit_step(self._grid, LOCAL_OPS, at_t0, t0, dt)
+        new_state, diag = self._jit_step(self._grid, self._local_ops, at_t0, t0, dt)
         self.last_residual = {
             "T": diag.residual_T,
             "cl": diag.residual_cl,

@@ -63,6 +63,15 @@ class Model01:
             return sympy.S(0)
         return jnp.zeros_like(T)
 
+    def V3(self, T, *, d: int = 0):
+        """V3 = 0 — the z velocity component of the 3-D extension
+        (:mod:`na_dd_tpu.three_d`).  The reference model's velocity is along
+        x only (V = (γ_T T, 0), src/prob1base.py:110-130), so both transverse
+        components vanish; kept as a hook exactly like :meth:`V2`."""
+        if isinstance(T, sympy.Expr):
+            return sympy.S(0)
+        return jnp.zeros_like(T)
+
     def Dd(self, cp, T, *, d=(0, 0)):
         """Dd = Dd_max exp(-phi_d cp) exp(-phi_T / T), with Dd(.,0) := 0.
 

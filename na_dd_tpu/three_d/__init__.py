@@ -1,10 +1,18 @@
-"""3-D extension of the discretization layer (beyond-reference capability).
+"""3-D extension of the framework (beyond-reference capability).
 
 The reference framework is strictly 2-D (every operator in
-src/prob1base.py:1499-1581 is a row/column shift on (N+1, M+1) arrays).
-This package extends the framework's shift-protocol design to
-(N+1, M+1, P+1) tensor-product grids with the SAME structure at every
-layer, demonstrating that the 2-D design generalizes mechanically:
+src/prob1base.py:1499-1581 is a row/column shift on (N+1, M+1) arrays, and
+every field/integrator builds on them).  This package extends the framework
+to (N+1, M+1, P+1) tensor-product grids with the SAME structure at every
+layer — including the FULL five-field model physics: semi-discrete fields
+with analytic Stencil7 Jacobian/coupling planes (:mod:`fields`), MMS
+machinery in (t,x,y,z) (:mod:`mms`, :mod:`forcing`, :mod:`quadrature`), and
+the complete PC-trapezoidal integrator family (:mod:`integrator`) — the
+latter by INHERITING the 2-D predictor–corrector/Newton/Krylov/mixed-
+precision machinery unchanged (it was written shape-agnostically) and
+overriding only the Newton-plane builder and the local-ops provider.
+
+Discretization layer:
 
 * :mod:`shifts`   — six zero-filling axis shifts + global reductions
   (``Ops3`` protocol): ``LocalOps3`` single-device, ``HaloOps3`` inside
@@ -24,10 +32,43 @@ layer, demonstrating that the 2-D design generalizes mechanically:
 
 from na_dd_tpu.three_d.diffusion import (
     Stencil7,
+    advection_planes3,
     crank_nicolson_heat_step,
     diffusion_planes3,
     heat_mms_error,
+    midpoint_coupling_planes3,
+    newton_planes3,
+    stencil_add_diag3,
 )
+from na_dd_tpu.three_d.fields import (
+    Field3Base,
+    FieldCsTriple3,
+    FieldHCsTriple3,
+    FieldRegHCsTriple3,
+)
+from na_dd_tpu.three_d.forcing import (
+    Forcing3Base,
+    MMSForcingCsTriple3,
+    MMSForcingHCsTriple3,
+    MMSForcingRegHCsTriple3,
+    NoForcing3,
+)
+from na_dd_tpu.three_d.harness import make_setup3, mms_error3, run_trial3
+from na_dd_tpu.three_d.integrator import (
+    ForwardEulerIntegrator3,
+    PCTrapezoidalCsTriple3,
+    PCTrapezoidalHCsTriple3,
+    PCTrapezoidalRegHCsTriple3,
+)
+from na_dd_tpu.three_d.mms import (
+    MMSCaseExpSin3,
+    MMSCasePol3,
+    MMSCaseSymbolic3,
+    pack_symbolic_txyz_with_derivatives,
+    state_from_mms_when3,
+    z_sym,
+)
+from na_dd_tpu.three_d.quadrature import avg_int3
 from na_dd_tpu.three_d.grid import Grid3, make_grid3, make_uniform_grid3
 from na_dd_tpu.three_d.shifts import LOCAL_OPS3, HaloOps3, LocalOps3, Ops3
 from na_dd_tpu.three_d.stencils import (
@@ -65,4 +106,32 @@ __all__ = [
     "Dy_star3",
     "Dz_star3",
     "grad_H3",
+    # model physics (3-D extension)
+    "advection_planes3",
+    "midpoint_coupling_planes3",
+    "newton_planes3",
+    "stencil_add_diag3",
+    "Field3Base",
+    "FieldCsTriple3",
+    "FieldHCsTriple3",
+    "FieldRegHCsTriple3",
+    "Forcing3Base",
+    "NoForcing3",
+    "MMSForcingCsTriple3",
+    "MMSForcingHCsTriple3",
+    "MMSForcingRegHCsTriple3",
+    "ForwardEulerIntegrator3",
+    "PCTrapezoidalCsTriple3",
+    "PCTrapezoidalHCsTriple3",
+    "PCTrapezoidalRegHCsTriple3",
+    "MMSCaseSymbolic3",
+    "MMSCasePol3",
+    "MMSCaseExpSin3",
+    "pack_symbolic_txyz_with_derivatives",
+    "state_from_mms_when3",
+    "z_sym",
+    "avg_int3",
+    "make_setup3",
+    "mms_error3",
+    "run_trial3",
 ]

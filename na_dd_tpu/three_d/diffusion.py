@@ -97,6 +97,75 @@ def diffusion_planes3(g: Grid3, ops: Ops3, ax, ay, az) -> Stencil7:
     )
 
 
+def advection_planes3(g: Grid3, ops: Ops3, bx, by, bz) -> Stencil7:
+    """Exact planes of w ↦ −D*_x(M_x(bx⊙w)) − D*_y(M_y(by⊙w)) − D*_z(M_z(bz⊙w))
+    — the 3-D extension of :func:`na_dd_tpu.ops.linsolve.advection_planes`
+    (per-axis structure identical; reference src/prob1base.py:2740-2762)."""
+    half_x = 0.5 * g.inv_hh_phalf
+    half_y = 0.5 * g.inv_kk_phalf
+    half_z = 0.5 * g.inv_ll_phalf
+    cxp = -half_x * ops.shift_xp(bx * g.mask_x1)
+    cxm = half_x * ops.shift_xm(bx) * g.mask_x1
+    c0x = -half_x * bx * (ops.shift_xp(g.mask_x1) - g.mask_x1)
+    cyp = -half_y * ops.shift_yp(by * g.mask_y1)
+    cym = half_y * ops.shift_ym(by) * g.mask_y1
+    c0y = -half_y * by * (ops.shift_yp(g.mask_y1) - g.mask_y1)
+    czp = -half_z * ops.shift_zp(bz * g.mask_z1)
+    czm = half_z * ops.shift_zm(bz) * g.mask_z1
+    c0z = -half_z * bz * (ops.shift_zp(g.mask_z1) - g.mask_z1)
+    return Stencil7(
+        c0=c0x + c0y + c0z, cxm=cxm, cxp=cxp, cym=cym, cyp=cyp, czm=czm, czp=czp
+    )
+
+
+def midpoint_coupling_planes3(g: Grid3, ops: Ops3, ax, ay, az) -> Stencil7:
+    """Exact planes of w ↦ D*_x(ax ⊙ M_x w) + D*_y(ay ⊙ M_y w) + D*_z(az ⊙ M_z w)
+    — the coefficient OUTSIDE the midpoint average (a diffusion coefficient's
+    state-derivative; 3-D extension of
+    :func:`na_dd_tpu.ops.linsolve.midpoint_coupling_planes`)."""
+    half_x = 0.5 * g.inv_hh_phalf
+    half_y = 0.5 * g.inv_kk_phalf
+    half_z = 0.5 * g.inv_ll_phalf
+    axm = ax * g.mask_x1
+    aym = ay * g.mask_y1
+    azm = az * g.mask_z1
+    cxp = half_x * ops.shift_xp(axm)
+    cxm = -half_x * axm
+    cyp = half_y * ops.shift_yp(aym)
+    cym = -half_y * aym
+    czp = half_z * ops.shift_zp(azm)
+    czm = -half_z * azm
+    return Stencil7(
+        c0=(cxp + cxm) + (cyp + cym) + (czp + czm),
+        cxm=cxm,
+        cxp=cxp,
+        cym=cym,
+        cyp=cyp,
+        czm=czm,
+        czp=czp,
+    )
+
+
+def newton_planes3(g: Grid3, ops: Ops3, L: Stencil7, dt) -> Stencil7:
+    """Planes of the interior Newton operator w ↦ m·(2(w·m) − dt·m·L(w·m)),
+    m = interior_mask (3-D twin of :func:`na_dd_tpu.ops.linsolve.newton_planes`)."""
+    m = g.interior_mask
+    return Stencil7(
+        c0=m * (2.0 - dt * L.c0),
+        cxm=-dt * m * L.cxm * ops.shift_xm(m),
+        cxp=-dt * m * L.cxp * ops.shift_xp(m),
+        cym=-dt * m * L.cym * ops.shift_ym(m),
+        cyp=-dt * m * L.cyp * ops.shift_yp(m),
+        czm=-dt * m * L.czm * ops.shift_zm(m),
+        czp=-dt * m * L.czp * ops.shift_zp(m),
+    )
+
+
+def stencil_add_diag3(st: Stencil7, d) -> Stencil7:
+    """st + diag(d)."""
+    return st._replace(c0=st.c0 + d)
+
+
 def crank_nicolson_heat_step(
     g: Grid3,
     ops: Ops3,

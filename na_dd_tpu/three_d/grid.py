@@ -10,8 +10,10 @@ decisions that make the 2-D grid XLA/TPU-safe and shardable:
    precomputed masked weight ``w_H`` so reductions are whole-array sums
    (``psum`` of local sums under sharding; no boundary slicing).
 
-Only what the 3-D diffusion layer needs is carried; the 2-D grid's staggered
-per-axis weight planes (w_pk / w_hp) generalize the same way when needed.
+Carries everything the 3-D model-physics layer needs (metrics, masks, w_H,
+staggered midpoints + dual-cell widths for the 27-point quadrature); the 2-D
+grid's staggered gradient-norm weights (w_pk / w_hp) generalize the same way
+when needed.
 """
 
 from __future__ import annotations
@@ -30,6 +32,14 @@ class Grid3:
     xx: jax.Array
     yy: jax.Array
     zz: jax.Array
+    # --- staggered midpoints (0 at the last plane, like the 2-D grid) ---
+    xx_phalf: jax.Array  # x_{i+1/2} at [i,:,:] for i < N; 0 at i = N
+    yy_phalf: jax.Array  # y_{j+1/2}; 0 at j = M
+    zz_phalf: jax.Array  # z_{k+1/2}; 0 at k = P
+    # --- dual-cell widths (0-sentinel at the boundary planes) ---
+    hh_phalf: jax.Array  # h_{i+1/2} = (h_i + h_{i+1})/2; 0 at i = 0, N
+    kk_phalf: jax.Array  # k_{j+1/2}; 0 at j = 0, M
+    ll_phalf: jax.Array  # l_{k+1/2}; 0 at k = 0, P
     # --- metric arrays (0-sentinel; see module docstring) ---
     inv_hh: jax.Array  # 1/h_i at [i,:,:]; 0 at i = 0
     inv_kk: jax.Array  # 1/k_j; 0 at j = 0
@@ -84,6 +94,15 @@ def make_grid3(x: np.ndarray, y: np.ndarray, z: np.ndarray, dtype=None) -> Grid3
     k, k_phalf = spacings(y)
     l, l_phalf = spacings(z)
 
+    def midpoints(c):
+        # c_{i+1/2} for i < n; 0 at the last node (2-D grid convention,
+        # ops/grid.py:99-104).
+        out = np.zeros_like(c)
+        out[:-1] = 0.5 * (c[:-1] + c[1:])
+        return out
+
+    x_phalf, y_phalf, z_phalf = midpoints(x), midpoints(y), midpoints(z)
+
     def safe_recip(a):
         out = np.zeros_like(a)
         nz = a != 0.0
@@ -120,6 +139,12 @@ def make_grid3(x: np.ndarray, y: np.ndarray, z: np.ndarray, dtype=None) -> Grid3
         xx=dev(xx),
         yy=dev(yy),
         zz=dev(zz),
+        xx_phalf=dev(bx(x_phalf)),
+        yy_phalf=dev(by(y_phalf)),
+        zz_phalf=dev(bz(z_phalf)),
+        hh_phalf=dev(bx(h_phalf)),
+        kk_phalf=dev(by(k_phalf)),
+        ll_phalf=dev(bz(l_phalf)),
         inv_hh=dev(bx(safe_recip(h))),
         inv_kk=dev(by(safe_recip(k))),
         inv_ll=dev(bz(safe_recip(l))),

@@ -1,0 +1,158 @@
+"""3-D MMS trial driver: whole-run-as-one-scan error measurement.
+
+The 3-D counterpart of the 2-D trial harness (:mod:`na_dd_tpu.harness.trial`,
+reference ``MMSTrial``/``run_simulation_collect_data``): the full simulation
+is ONE ``lax.scan`` program — per step, advance the state with the
+integrator's jittable ``step_fn`` and evaluate the exact-solution error in
+the same fused program (the SymPy→JAX closures trace into the scan).
+
+The error reported is the reference's combined norm restricted to its
+H (weighted-ℓ²) part, max over time steps:
+
+    max_k sqrt( Σ_v ||e_v(t_k)||_H² )
+
+(the gradient-integral term of mms_trial_utils.py:15-53 needs the staggered
+w_pk/w_hp weights, which the 3-D grid does not carry yet; for convergence
+RATES the H part is equivalent — both are second-order functionals of the
+same error field).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from na_dd_tpu.core.state import State
+from na_dd_tpu.three_d.fields import (
+    FieldCsTriple3,
+    FieldHCsTriple3,
+    FieldRegHCsTriple3,
+)
+from na_dd_tpu.three_d.forcing import (
+    MMSForcingCsTriple3,
+    MMSForcingHCsTriple3,
+    MMSForcingRegHCsTriple3,
+)
+from na_dd_tpu.three_d.grid import Grid3, make_uniform_grid3
+from na_dd_tpu.three_d.integrator import (
+    PCTrapezoidalCsTriple3,
+    PCTrapezoidalHCsTriple3,
+    PCTrapezoidalRegHCsTriple3,
+)
+from na_dd_tpu.three_d.mms import state_from_mms_when3
+from na_dd_tpu.three_d.shifts import LOCAL_OPS3, Ops3
+
+_VARIANTS = {
+    "cs": (FieldCsTriple3, MMSForcingCsTriple3, PCTrapezoidalCsTriple3),
+    "hcs": (FieldHCsTriple3, MMSForcingHCsTriple3, PCTrapezoidalHCsTriple3),
+    "reghcs": (
+        FieldRegHCsTriple3,
+        MMSForcingRegHCsTriple3,
+        PCTrapezoidalRegHCsTriple3,
+    ),
+}
+
+
+def make_setup3(
+    case_cls,
+    *,
+    N: int,
+    model,
+    variant: str = "reghcs",
+    eta: float = 50.0,
+    grid: Grid3 | None = None,
+    case_params: Dict | None = None,
+    integrator_params: Dict | None = None,
+):
+    """Assemble (grid, case, field, integrator) for a 3-D MMS trial."""
+    field_cls, forcing_cls, integ_cls = _VARIANTS[variant]
+    g = grid if grid is not None else make_uniform_grid3(N, N, N)
+    case = case_cls(g, model, **(case_params or {}))
+    reg = dict(regularization_factor=eta) if variant == "reghcs" else {}
+    forcing = forcing_cls(mms_case=case, model=model, **reg)
+    field = field_cls(grid=g, model=model, forcing=forcing, **reg)
+    integ = integ_cls(field, **reg, **(integrator_params or {}))
+    return g, case, field, integ
+
+
+def run_trial3(
+    g: Grid3,
+    case,
+    integ,
+    *,
+    Tf: float,
+    dt: float,
+    ops: Ops3 = LOCAL_OPS3,
+    t0: float = 0.0,
+):
+    """Run the whole simulation as one jitted scan and return
+    ``{"error": max-over-time combined H error, "errors_final": per-var,
+    "state": final State, "krylov_converged": all-solves flag}``."""
+    num_steps = max(1, int(math.ceil(Tf / dt)))
+    dt_adj = Tf / num_steps
+
+    s0 = state_from_mms_when3(mms_case=case, t=t0, grid=g)
+
+    def err_sq(s: State, t):
+        ex = state_from_mms_when3(mms_case=case, t=t, grid=g)
+        total = 0.0
+        per_var = {}
+        for v in State._fields:
+            e = getattr(s, v) - getattr(ex, v)
+            sq = ops.asum(g.w_H * e * e)
+            per_var[v] = sq
+            total = total + sq
+        return total, per_var
+
+    def body(carry, k):
+        s, worst, ok = carry
+        t_k = t0 + k * dt_adj
+        s1, diag = integ.step_fn(g, ops, s, t_k, dt_adj)
+        tot, _ = err_sq(s1, t_k + dt_adj)
+        worst = jnp.maximum(worst, tot)
+        ok = jnp.logical_and(ok, diag.krylov_converged)
+        return (s1, worst, ok), None
+
+    @jax.jit
+    def run(s0):
+        ks = jnp.arange(num_steps, dtype=jnp.result_type(float))
+        init = (s0, jnp.asarray(0.0, dtype=g.xx.dtype), jnp.asarray(True))
+        (s_fin, worst, ok), _ = jax.lax.scan(body, init, ks)
+        _, per_var = err_sq(s_fin, t0 + Tf)
+        return s_fin, worst, ok, per_var
+
+    s_fin, worst, ok, per_var = run(s0)
+    return {
+        "error": float(jnp.sqrt(worst)),
+        "errors_final": {v: float(jnp.sqrt(sq)) for v, sq in per_var.items()},
+        "state": s_fin,
+        "krylov_converged": bool(ok),
+    }
+
+
+def mms_error3(
+    case_cls,
+    *,
+    N: int,
+    model,
+    Tf: float,
+    dt: float,
+    variant: str = "reghcs",
+    eta: float = 50.0,
+    case_params: Dict | None = None,
+    integrator_params: Dict | None = None,
+) -> float:
+    """Convenience: build the setup and return the combined H error."""
+    g, case, _field, integ = make_setup3(
+        case_cls,
+        N=N,
+        model=model,
+        variant=variant,
+        eta=eta,
+        case_params=case_params,
+        integrator_params=integrator_params,
+    )
+    return run_trial3(g, case, integ, Tf=Tf, dt=dt)["error"]

@@ -1,0 +1,92 @@
+"""3-D time integrators: the PC-trapezoidal family and forward Euler on
+(N+1, M+1, P+1) grids.
+
+Beyond-reference capability (the reference integrators,
+src/prob1base.py:2885-3703, are strictly 2-D).  The ENTIRE predictor–
+corrector machinery is inherited from
+:class:`na_dd_tpu.integrators.pc_trapezoidal.PCTrapezoidalBase` — the PC
+loop, the Heun cp/cs predictors, the closed-form / sign-exact / pointwise-
+Newton cs correctors, the Gauss–Seidel Newton sweep over the triangular
+(T, cl, cd) block, the Krylov drivers (while_loop / unrolled / scanned
+BiCGStab) and the mixed-precision iterative-refinement wrapper were all
+written shape-agnostically (pointwise algebra + ``ops`` reductions +
+stencil ``.apply``).  The 3-D subclasses override exactly two hooks:
+
+* :meth:`_newton_planes` — builds the interior Newton operator from a
+  :class:`~na_dd_tpu.three_d.diffusion.Stencil7` (7 planes instead of 5);
+* :attr:`_local_ops` — the eager ``.step()`` single-device ops provider.
+
+Restrictions vs the 2-D integrators (validated at construction):
+
+* ``stencil_source`` must stay ``"analytic"`` when stencils are assembled
+  (the 5-color probe extractor is 2-D; the 3-D analytic planes are
+  cross-validated against ``jax.linearize`` in tests/test_three_d_model.py);
+* ``stencil_backend="pallas"`` and ``linear_solver="direct"`` are 2-D-only
+  (Mosaic kernels and the block-cyclic-reduction factorization address
+  (N+1, M+1) layouts).
+
+``precision="mixed"``, ``krylov_scanned``, ``coupling_source`` ("jvp" or
+"analytic"), multi-sweep scan and the shard-global diagnostics all work in
+3-D through the shared machinery.
+"""
+
+from __future__ import annotations
+
+from na_dd_tpu.integrators.forward_euler import ForwardEulerIntegrator
+from na_dd_tpu.integrators.pc_trapezoidal import (
+    PCTrapezoidalCsTriple,
+    PCTrapezoidalHCsTriple,
+    PCTrapezoidalRegHCsTriple,
+)
+from na_dd_tpu.three_d.diffusion import newton_planes3
+from na_dd_tpu.three_d.shifts import LOCAL_OPS3
+
+
+class ForwardEulerIntegrator3(ForwardEulerIntegrator):
+    """Forward Euler on 3-D fields — the step body is inherited verbatim
+    (it only evaluates ``field.all_fields``); only the eager-API ops provider
+    changes."""
+
+    _local_ops = LOCAL_OPS3
+
+
+class _Newton3Mixin:
+    """Swaps the Newton-operator plane builder for the Stencil7 one and
+    enforces the 2-D-only feature restrictions."""
+
+    _local_ops = LOCAL_OPS3
+
+    def __init__(self, semi_discrete_field, **kwargs):
+        super().__init__(semi_discrete_field, **kwargs)
+        if self.stencil_backend != "jnp":
+            raise ValueError(
+                "3-D integrators support stencil_backend='jnp' only (the "
+                "Pallas kernels address 2-D (N+1, M+1) layouts)"
+            )
+        if self.linear_solver != "krylov":
+            raise ValueError(
+                "3-D integrators support linear_solver='krylov' only (the "
+                "BCR direct factorization addresses 2-D row-blocks)"
+            )
+        if self.assemble_stencil and self.stencil_source != "analytic":
+            raise ValueError(
+                "3-D integrators support stencil_source='analytic' only "
+                "(the 5-color plane probe is 2-D); set assemble_stencil="
+                "False for the matrix-free diagonally-probed path"
+            )
+
+    def _newton_planes(self, g, ops, L, dt):
+        return newton_planes3(g, ops, L, dt)
+
+
+class PCTrapezoidalCsTriple3(_Newton3Mixin, PCTrapezoidalCsTriple):
+    """PC-trapezoidal with the linear cs corrector, in 3-D."""
+
+
+class PCTrapezoidalHCsTriple3(_Newton3Mixin, PCTrapezoidalHCsTriple):
+    """PC-trapezoidal with the sharp-Heaviside cs corrector, in 3-D."""
+
+
+class PCTrapezoidalRegHCsTriple3(_Newton3Mixin, PCTrapezoidalRegHCsTriple):
+    """PC-trapezoidal with the regularized-Heaviside cs corrector (the
+    paper's headline integrator), in 3-D."""

@@ -1,0 +1,316 @@
+"""3-D MODEL physics tests (beyond-reference capability): the five-field
+NA-DD system on (N+1, M+1, P+1) grids.
+
+Covers: the analytic Stencil7 Jacobian/coupling planes against the exact
+``jax.linearize``/``jax.jvp`` of the 3-D fields, 3-D dual-cell quadrature
+exactness, MMS convergence of the inherited PC machinery (spatial order 2
+with CFL-scaled dt; temporal order 2 by self-convergence), forward Euler,
+all three reaction variants, mixed-precision parity and sharded (2-D device
+mesh) parity of a full PC step.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from na_dd_tpu.core.state import State
+from na_dd_tpu.models import Model02, default_model_consts
+from na_dd_tpu.parallel import make_mesh
+from na_dd_tpu.three_d import (
+    LOCAL_OPS3,
+    ForwardEulerIntegrator3,
+    HaloOps3,
+    MMSCaseExpSin3,
+    MMSCasePol3,
+    avg_int3,
+    make_grid3,
+    make_setup3,
+    make_uniform_grid3,
+    mms_error3,
+    run_trial3,
+    state_from_mms_when3,
+)
+
+MC = default_model_consts._replace(
+    K1=1e-3, K2=1e-3, K3=1e-3, K4=1e-3, Dl_max=1e-5, Kd=1e-2, Sd=1.0, Dd_max=1e-6
+)
+ETA = 50.0
+OPS = LOCAL_OPS3
+
+
+@pytest.fixture(scope="module")
+def model():
+    # gamma_T nonzero by default, so the advection planes are exercised;
+    # bump it so the V1-coupling is far above roundoff in the plane tests.
+    return Model02(MC._replace(gamma_T=1e-2))
+
+
+def _rand_grid3(rng, N=5, M=6, Pn=4):
+    def coords(n):
+        d = 0.5 + rng.rand(n)
+        c = np.concatenate([[0.0], np.cumsum(d)])
+        return c / c[-1]
+
+    return make_grid3(coords(N), coords(M), coords(Pn))
+
+
+def _rand_setup(model, rng):
+    g = _rand_grid3(rng)
+    case = MMSCaseExpSin3(g, model)
+    from na_dd_tpu.three_d import FieldRegHCsTriple3, MMSForcingRegHCsTriple3
+
+    forcing = MMSForcingRegHCsTriple3(
+        mms_case=case, model=model, regularization_factor=ETA
+    )
+    field = FieldRegHCsTriple3(
+        grid=g, model=model, forcing=forcing, regularization_factor=ETA
+    )
+    # a generic (non-manufactured) state so no special structure hides bugs
+    s = State(
+        cp=jnp.asarray(0.2 + 0.1 * rng.rand(*g.full_shape)),
+        T=jnp.asarray(0.3 + 0.1 * rng.rand(*g.full_shape)),
+        cl=jnp.asarray(0.1 * rng.rand(*g.full_shape)),
+        cd=jnp.asarray(0.1 * rng.rand(*g.full_shape)),
+        cs=jnp.asarray(0.05 + 0.1 * rng.rand(*g.full_shape)),
+    )
+    return g, field, s
+
+
+# ----------------------------------------------------------------------
+# analytic Stencil7 planes vs the exact linearization
+# ----------------------------------------------------------------------
+@pytest.mark.parametrize("which", ["T", "cl", "cd"])
+def test_self_jacobian_planes_match_linearize(model, which):
+    """FT/Fcl/Fcd are linear in their own variable; the closed-form Stencil7
+    planes must act identically to jax.linearize of the field (3-D twin of
+    tests/test_analytic_stencils.py)."""
+    rng = np.random.RandomState(7)
+    g, field, s = _rand_setup(model, rng)
+    t = 0.3
+
+    F = {"T": field.FT, "cl": field.Fcl, "cd": field.Fcd}[which]
+    st = {
+        "T": field.stencil_dFT_dT,
+        "cl": field.stencil_dFcl_dcl,
+        "cd": field.stencil_dFcd_dcd,
+    }[which](g, OPS, s)
+
+    _, lin = jax.linearize(
+        lambda u: F(g, OPS, s._replace(**{which: u}), t), getattr(s, which)
+    )
+    m = g.interior_mask
+    for _ in range(3):
+        w = jnp.asarray(rng.randn(*g.full_shape))
+        np.testing.assert_allclose(
+            np.asarray(st.apply(OPS, w) * m),
+            np.asarray(lin(w) * m),
+            rtol=0,
+            atol=1e-11,
+        )
+
+
+@pytest.mark.parametrize("which", ["cl_T", "cd_T", "cd_cl"])
+def test_cross_coupling_planes_match_jvp(model, which):
+    """The analytic cross-coupling planes (dFcl/dT, dFcd/dT, dFcd/dcl) must
+    equal the exact jax.jvp of the 3-D fields on interior tangents."""
+    rng = np.random.RandomState(8)
+    g, field, s = _rand_setup(model, rng)
+    t = 0.3
+    m = g.interior_mask
+    w = jnp.asarray(rng.randn(*g.full_shape)) * m
+
+    if which == "cl_T":
+        got = field.stencil_dFcl_dT(g, OPS, s).apply(OPS, w)
+        _, want = jax.jvp(lambda T: field.Fcl(g, OPS, s._replace(T=T), t), (s.T,), (w,))
+    elif which == "cd_T":
+        got = field.stencil_dFcd_dT(g, OPS, s).apply(OPS, w)
+        _, want = jax.jvp(lambda T: field.Fcd(g, OPS, s._replace(T=T), t), (s.T,), (w,))
+    else:
+        got = field.diag_dFcd_dcl(g, s) * w
+        _, want = jax.jvp(
+            lambda cl: field.Fcd(g, OPS, s._replace(cl=cl), t), (s.cl,), (w,)
+        )
+    np.testing.assert_allclose(
+        np.asarray(got * m), np.asarray(want * m), rtol=0, atol=1e-11
+    )
+
+
+def test_avg_int3_polynomial_exactness():
+    """3×3×3 Gauss–Legendre is exact for per-axis degree ≤ 5: the dual-cell
+    average of x²y³z must match the closed-form antiderivative average."""
+    g = make_uniform_grid3(5, 4, 6)
+    got = avg_int3(lambda x, y, z: x**2 * y**3 * z, g, OPS)
+
+    xm = np.asarray(OPS.shift_xm(g.xx_phalf))
+    xp = np.asarray(g.xx_phalf)
+    ym = np.asarray(OPS.shift_ym(g.yy_phalf))
+    yp = np.asarray(g.yy_phalf)
+    zm = np.asarray(OPS.shift_zm(g.zz_phalf))
+    zp = np.asarray(g.zz_phalf)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ax = (xp**3 - xm**3) / (3.0 * (xp - xm))
+        ay = (yp**4 - ym**4) / (4.0 * (yp - ym))
+        az = (zp**2 - zm**2) / (2.0 * (zp - zm))
+    want = np.nan_to_num(ax * ay * az) * np.asarray(g.interior_mask)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=0, atol=1e-14)
+
+
+# ----------------------------------------------------------------------
+# MMS convergence of the full five-field system
+# ----------------------------------------------------------------------
+def test_pc3_spatial_order_2(model):
+    """With dt ∝ h both error components contract at order 2, so the combined
+    MMS error must show a clean 2nd-order ladder."""
+    errs = [
+        mms_error3(
+            MMSCaseExpSin3,
+            N=N,
+            model=model,
+            Tf=0.02,
+            dt=0.01 * 4.0 / N,
+            integrator_params=dict(num_newton_steps=2),
+        )
+        for N in (4, 8, 16)
+    ]
+    rates = [np.log2(errs[i] / errs[i + 1]) for i in range(len(errs) - 1)]
+    assert all(e > 0 for e in errs)
+    for r in rates:
+        assert abs(r - 2.0) < 0.3, f"rates {rates}, errors {errs}"
+
+
+def test_pc3_temporal_order_2(model):
+    """Self-convergence against a 16x-finer-dt run on the same grid (cancels
+    the spatial floor exactly, as in the 2-D FE order test)."""
+    g, case, _field, integ = make_setup3(
+        MMSCaseExpSin3, N=6, model=model, integrator_params=dict(num_newton_steps=3)
+    )
+
+    def final(dt):
+        return run_trial3(g, case, integ, Tf=0.04, dt=dt)["state"]
+
+    ref = final(2.5e-3 / 8)
+    errs = []
+    for k in range(3):
+        s = final(1e-2 / 2**k)
+        e = jnp.sqrt(
+            jnp.sum(g.w_H * (s.T - ref.T) ** 2) + jnp.sum(g.w_H * (s.cs - ref.cs) ** 2)
+        )
+        errs.append(float(e))
+    rates = [np.log2(errs[i] / errs[i + 1]) for i in range(2)]
+    for r in rates:
+        assert abs(r - 2.0) < 0.25, f"rates {rates}, errors {errs}"
+
+
+def test_forward_euler3_step_is_euler(model):
+    """FE in 3-D is the inherited step body verbatim: one eager step must
+    equal s + dt·F(s) exactly."""
+    g, case, field, _integ = make_setup3(MMSCaseExpSin3, N=4, model=model)
+    fe = ForwardEulerIntegrator3(field)
+    s0 = state_from_mms_when3(mms_case=case, t=0.0, grid=g)
+    dt = 1e-3
+    s1 = fe.step(s0, t0=0.0, dt=dt)
+    F = field.all_fields(g, OPS, s0, 0.0)
+    for v in State._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(s1, v)),
+            np.asarray(getattr(s0, v) + dt * getattr(F, v)),
+            rtol=0,
+            atol=1e-15,
+        )
+
+
+@pytest.mark.parametrize("variant", ["cs", "hcs"])
+def test_pc3_other_variants_run_and_converge(model, variant):
+    """The Cs/HCs correctors (inherited pointwise machinery) must run in 3-D
+    with converged solves and a sane MMS error."""
+    g, case, _field, integ = make_setup3(
+        MMSCasePol3, N=4, model=model, variant=variant
+    )
+    out = run_trial3(g, case, integ, Tf=0.01, dt=2.5e-3)
+    assert out["krylov_converged"]
+    assert 0 < out["error"] < 1e-2, out["error"]
+
+
+def test_pc3_mixed_precision_matches_full(model):
+    """precision='mixed' (f32 Krylov under f64 refinement) must reproduce the
+    full-f64 3-D run to refinement accuracy — the shared wrapper, now on
+    Stencil7 planes."""
+    common = dict(N=5, model=model, Tf=0.01, dt=2.5e-3)
+    e_full = mms_error3(MMSCaseExpSin3, **common)
+    e_mixed = mms_error3(
+        MMSCaseExpSin3, **common, integrator_params=dict(precision="mixed")
+    )
+    assert abs(e_mixed - e_full) <= 1e-8 * max(e_full, 1e-30), (e_full, e_mixed)
+
+
+def test_integrator3_restrictions(model):
+    """The 2-D-only features must be refused loudly at construction."""
+    from na_dd_tpu.three_d import PCTrapezoidalRegHCsTriple3
+
+    g, _case, field, _integ = make_setup3(MMSCaseExpSin3, N=4, model=model)
+    for kw in (
+        dict(stencil_backend="pallas"),
+        dict(linear_solver="direct"),
+        dict(stencil_source="probe"),
+    ):
+        with pytest.raises(ValueError):
+            PCTrapezoidalRegHCsTriple3(field, regularization_factor=ETA, **kw)
+
+
+# ----------------------------------------------------------------------
+# sharded parity: the full PC step on a 2-D device mesh
+# ----------------------------------------------------------------------
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_sharded_pc3_step_matches_local(model):
+    """One full 3-D PC step (Newton sweeps, Krylov solves with psum dots,
+    MMS forcing incl. the 27-point quadrature via halo shifts, RegHCs
+    pointwise-Newton corrector with pmax early exit) on a (4, 2) mesh must
+    reproduce the local step to roundoff."""
+    g, case, field, integ = make_setup3(
+        MMSCaseExpSin3,
+        N=7,
+        model=model,
+        grid=make_uniform_grid3(7, 7, 6),  # 8 x 8 x 7 arrays: 4 x 2 shards
+        integrator_params=dict(krylov_unroll=24),
+    )
+    s0 = state_from_mms_when3(mms_case=case, t=0.0, grid=g)
+    t0, dt = 0.0, 1e-3
+
+    s1_local, diag_local = integ.step_fn(g, OPS, s0, t0, dt)
+
+    mesh = make_mesh((4, 2), ("x", "y"))
+    hops = HaloOps3(axis_x="x", nx=4, axis_y="y", ny=2)
+    spec = P("x", "y")
+
+    def raw(g_sh, s_sh):
+        s1, diag = integ.step_fn(g_sh, hops, s_sh, t0, dt)
+        # split per-node residual arrays (sharded) from the psum/pmax-built
+        # scalars (mesh-invariant, so P() passes the check_vma net)
+        return (
+            s1,
+            (diag.residual_T, diag.residual_cl, diag.residual_cd),
+            (diag.krylov_iters, diag.krylov_converged),
+        )
+
+    sharded = jax.jit(
+        jax.shard_map(
+            raw,
+            mesh=mesh,
+            in_specs=(spec, spec),
+            out_specs=(spec, (spec, spec, spec), P()),
+            check_vma=True,
+        )
+    )
+    put = lambda a: jax.device_put(a, NamedSharding(mesh, P("x", "y", None)))
+    s1_sh, res_sh, (iters_sh, conv_sh) = sharded(jax.tree.map(put, g), jax.tree.map(put, s0))
+
+    assert bool(conv_sh)
+    for v in State._fields:
+        d = np.max(np.abs(np.asarray(getattr(s1_sh, v)) - np.asarray(getattr(s1_local, v))))
+        assert d < 1e-12, (v, d)
+    d_res = np.max(np.abs(np.asarray(res_sh[0]) - np.asarray(diag_local.residual_T)))
+    assert d_res < 1e-12, d_res
+    # psum reduction order can flip a tolerance comparison at the boundary
+    assert abs(int(iters_sh) - int(diag_local.krylov_iters)) <= 3
