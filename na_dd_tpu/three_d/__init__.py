@@ -53,7 +53,13 @@ from na_dd_tpu.three_d.forcing import (
     MMSForcingRegHCsTriple3,
     NoForcing3,
 )
-from na_dd_tpu.three_d.harness import make_setup3, mms_error3, run_trial3
+from na_dd_tpu.three_d.harness import (
+    build_runner3,
+    make_integrator3,
+    make_setup3,
+    mms_error3,
+    run_trial3,
+)
 from na_dd_tpu.three_d.integrator import (
     ForwardEulerIntegrator3,
     PCTrapezoidalCsTriple3,
@@ -131,6 +137,8 @@ __all__ = [
     "state_from_mms_when3",
     "z_sym",
     "avg_int3",
+    "build_runner3",
+    "make_integrator3",
     "make_setup3",
     "mms_error3",
     "run_trial3",

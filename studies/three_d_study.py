@@ -1,0 +1,141 @@
+"""3-D model convergence study + step-time probe (beyond-reference capability).
+
+Runs a spatial ladder of the full five-field 3-D NA-DD system (RegHCs
+variant, dt ∝ h so both error components contract at order 2), reports
+per-level combined-H errors, observed rates and steady per-step wall-clock,
+and archives everything under studies/results/three_d_study.json.
+
+Usage:
+    python studies/three_d_study.py                 # ladder on the attached TPU
+    python studies/three_d_study.py --cpu           # force CPU (x64)
+    python studies/three_d_study.py --levels 4 --n0 4
+    python studies/three_d_study.py --variant cs    # reaction variant
+
+The whole run per level is ONE fused scan program (three_d/harness.py), so
+the TPU timing is the honest production number: steady = a second call on
+the warm cache.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true", help="force CPU")
+    ap.add_argument("--levels", type=int, default=4)
+    ap.add_argument("--n0", type=int, default=4, help="coarsest N (doubles per level)")
+    ap.add_argument("--variant", default="reghcs", choices=["cs", "hcs", "reghcs"])
+    ap.add_argument("--tf", type=float, default=0.02)
+    ap.add_argument("--dt0", type=float, default=1e-2, help="dt at the coarsest level")
+    ap.add_argument("--eta", type=float, default=50.0)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from na_dd_tpu import config
+
+    config.setup_x64()
+    if not args.cpu:
+        # On CPU the persistent cache can deserialize AOT results compiled on
+        # a different host generation (feature-mismatch warnings / SIGILL
+        # risk) and compiles are cheap anyway; keep it TPU-only here.
+        config.enable_persistent_compilation_cache()
+
+    from na_dd_tpu.models import Model02, default_model_consts
+    from na_dd_tpu.three_d import MMSCaseExpSin3, make_setup3
+    from na_dd_tpu.three_d.harness import build_runner3
+
+    MC = default_model_consts._replace(
+        K1=1e-3, K2=1e-3, K3=1e-3, K4=1e-3, Dl_max=1e-5, Kd=1e-2, Sd=1.0, Dd_max=1e-6
+    )
+    model = Model02(MC)
+
+    levels = []
+    for k in range(args.levels):
+        N = args.n0 * 2**k
+        dt = args.dt0 / 2**k
+        g, case, _field, integ = make_setup3(
+            MMSCaseExpSin3,
+            N=N,
+            model=model,
+            variant=args.variant,
+            eta=args.eta,
+            integrator_params=dict(num_newton_steps=2),
+        )
+        run, s0 = build_runner3(g, case, integ, Tf=args.tf, dt=dt)
+        t0 = time.perf_counter()
+        res = jax.block_until_ready(run(s0))
+        t_cold = time.perf_counter() - t0
+        # steady = min over 3 calls of the SAME compiled program (tunneled
+        # single calls carry tens of ms of jitter — same policy as bench.py)
+        t_warm = min(
+            _timed(lambda: jax.block_until_ready(run(s0))) for _ in range(3)
+        )
+        _s_fin, worst, conv, _per = res
+        num_steps = max(1, int(np.ceil(args.tf / dt)))
+        lv = dict(
+            N=N,
+            dt=dt,
+            nodes=(N + 1) ** 3,
+            error=float(np.sqrt(worst)),
+            converged=bool(conv),
+            cold_s=t_cold,
+            warm_s=t_warm,
+            warm_per_step_s=t_warm / num_steps,
+        )
+        levels.append(lv)
+        print(
+            f"[L{k}] N={N:4d} ({lv['nodes']:>9,} nodes) dt={dt:.2e} "
+            f"err={lv['error']:.6e} conv={lv['converged']} "
+            f"cold={t_cold:.1f}s warm={t_warm:.3f}s "
+            f"({lv['warm_per_step_s'] * 1e3:.1f} ms/step)",
+            flush=True,
+        )
+
+    errs = [lv["error"] for lv in levels]
+    rates = [float(np.log2(errs[i] / errs[i + 1])) for i in range(len(errs) - 1)]
+    print("observed rates:", [f"{r:.3f}" for r in rates])
+    ok = all(abs(r - 2.0) < 0.35 for r in rates[-2:]) if len(rates) >= 2 else True
+    print("[OK]" if ok else "[RATE CHECK FAILED]")
+
+    result = dict(
+        backend=jax.default_backend(),
+        x64=bool(jax.config.jax_enable_x64),
+        variant=args.variant,
+        Tf=args.tf,
+        eta=args.eta,
+        levels=levels,
+        rates=rates,
+        timestamp=time.strftime("%Y-%m-%d %H:%M:%S"),
+    )
+    out_path = args.out or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "results", "three_d_study.json"
+    )
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print("archived:", out_path)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -259,6 +259,41 @@ def test_integrator3_restrictions(model):
             PCTrapezoidalRegHCsTriple3(field, regularization_factor=ETA, **kw)
 
 
+def test_production_drivers_in_3d(model):
+    """The production drivers (simulate, simulate_adaptive,
+    released_drug_fraction — harness/simulate.py) are dimension-agnostic:
+    they must run UNCHANGED on a 3-D grid/integrator with ops=LOCAL_OPS3."""
+    from na_dd_tpu.harness.simulate import (
+        released_drug_fraction,
+        simulate,
+        simulate_adaptive,
+    )
+    from na_dd_tpu.three_d import make_integrator3
+
+    g = make_uniform_grid3(6, 6, 6)
+    integ = make_integrator3(g, model)
+    # physical-style initial condition: loaded solid drug in the interior
+    bump = (
+        jnp.sin(jnp.pi * g.xx) * jnp.sin(jnp.pi * g.yy) * jnp.sin(jnp.pi * g.zz)
+    ) * g.interior_mask
+    s0 = State(cp=0.2 * bump, T=0.1 * bump, cl=0.0 * bump, cd=0.05 * bump, cs=bump)
+
+    s_fin, times, snaps = simulate(
+        integ, g, s0, dt=1e-3, num_steps=4, snapshot_every=2, ops=OPS
+    )
+    assert snaps.T.shape == (2,) + g.full_shape
+    assert np.isfinite(np.asarray(s_fin.cs)).all()
+
+    frac = released_drug_fraction(OPS, g, s_fin, s0)
+    assert 0.0 <= float(frac) < 1.0
+
+    s_ad, info = simulate_adaptive(
+        integ, g, s0, Tf=5e-3, dt0=1e-3, tol=1e-5, ops=OPS
+    )
+    assert info["steps"] >= 1 and info["t"] >= 5e-3 - 1e-12
+    assert np.isfinite(np.asarray(s_ad.T)).all()
+
+
 # ----------------------------------------------------------------------
 # sharded parity: the full PC step on a 2-D device mesh
 # ----------------------------------------------------------------------
