@@ -74,6 +74,7 @@ from na_dd_tpu.three_d.mms import (
     state_from_mms_when3,
     z_sym,
 )
+from na_dd_tpu.three_d.inner_products import inner_H3, inner_p3, norm_H3, norm_p3
 from na_dd_tpu.three_d.quadrature import avg_int3
 from na_dd_tpu.three_d.grid import Grid3, make_grid3, make_uniform_grid3
 from na_dd_tpu.three_d.shifts import LOCAL_OPS3, HaloOps3, LocalOps3, Ops3
@@ -137,6 +138,10 @@ __all__ = [
     "state_from_mms_when3",
     "z_sym",
     "avg_int3",
+    "inner_H3",
+    "inner_p3",
+    "norm_H3",
+    "norm_p3",
     "build_runner3",
     "make_integrator3",
     "make_setup3",

@@ -47,12 +47,18 @@ class Grid3:
     inv_hh_phalf: jax.Array  # 1/h_{i+1/2}; 0 at i = 0, N
     inv_kk_phalf: jax.Array  # 1/k_{j+1/2}; 0 at j = 0, M
     inv_ll_phalf: jax.Array  # 1/l_{k+1/2}; 0 at k = 0, P
-    # --- masks and inner-product weight ---
+    # --- masks and inner-product weights ---
     interior_mask: jax.Array  # 1 on the open interior, 0 on the boundary
     mask_x1: jax.Array  # 0 on plane i = 0, 1 elsewhere
     mask_y1: jax.Array  # 0 on plane j = 0
     mask_z1: jax.Array  # 0 on plane k = 0
     w_H: jax.Array  # h_{i+1/2} k_{j+1/2} l_{k+1/2} on the interior, 0 elsewhere
+    # staggered gradient-norm weights (3-D extension of the 2-D w_pk / w_hp,
+    # ops/grid.py:52-53): one per gradient component, supported where that
+    # component of the staggered gradient is defined
+    w_gx: jax.Array  # h_i k_{j+1/2} l_{k+1/2}; i in 1..N, j in 1..M-1, k in 1..P-1
+    w_gy: jax.Array  # h_{i+1/2} k_j l_{k+1/2}; i in 1..N-1, j in 1..M, k in 1..P-1
+    w_gz: jax.Array  # h_{i+1/2} k_{j+1/2} l_k; i in 1..N-1, j in 1..M-1, k in 1..P
     red_mask: jax.Array  # 1 where (i+j+k) even — 7-point stencils flip parity
     # --- static metadata ---
     N: int = dataclasses.field(metadata=dict(static=True))
@@ -129,6 +135,13 @@ def make_grid3(x: np.ndarray, y: np.ndarray, z: np.ndarray, dtype=None) -> Grid3
 
     w_H = bx(h_phalf) * by(k_phalf) * bz(l_phalf) * interior_mask
 
+    # Staggered gradient weights: the 0-sentinels of h (at i=0) and h_phalf
+    # (at 0 and N) already restrict each product to exactly its defining
+    # index range — no extra masking needed (same trick as w_H).
+    w_gx = bx(h) * by(k_phalf) * bz(l_phalf)
+    w_gy = bx(h_phalf) * by(k) * bz(l_phalf)
+    w_gz = bx(h_phalf) * by(k_phalf) * bz(l)
+
     ii, jj, kk = np.meshgrid(
         np.arange(N + 1), np.arange(M + 1), np.arange(P + 1), indexing="ij"
     )
@@ -156,6 +169,9 @@ def make_grid3(x: np.ndarray, y: np.ndarray, z: np.ndarray, dtype=None) -> Grid3
         mask_y1=dev(mask_y1),
         mask_z1=dev(mask_z1),
         w_H=dev(w_H),
+        w_gx=dev(w_gx),
+        w_gy=dev(w_gy),
+        w_gz=dev(w_gz),
         red_mask=dev(red_mask),
         N=N,
         M=M,

@@ -6,15 +6,14 @@ is ONE ``lax.scan`` program — per step, advance the state with the
 integrator's jittable ``step_fn`` and evaluate the exact-solution error in
 the same fused program (the SymPy→JAX closures trace into the scan).
 
-The error reported is the reference's combined norm restricted to its
-H (weighted-ℓ²) part, max over time steps:
+The error reported is the reference's combined max-integral norm
+(src/mms_trial_utils.py:15-53), accumulated INSIDE the scan:
 
-    max_k sqrt( Σ_v ||e_v(t_k)||_H² )
+    max_k sqrt( Σ_v ||e_v(t_k)||_H² + ∫₀^{t_k} Σ_{v∈integral} ||∇e_v||_p² dτ )
 
-(the gradient-integral term of mms_trial_utils.py:15-53 needs the staggered
-w_pk/w_hp weights, which the 3-D grid does not carry yet; for convergence
-RATES the H part is equivalent — both are second-order functionals of the
-same error field).
+with trapezoidal time integration of the staggered-gradient terms (weights
+``w_gx/w_gy/w_gz`` — the 3-D extension of the 2-D w_pk/w_hp) and the
+reference's default integral set {T, cl, cd}.
 """
 
 from __future__ import annotations
@@ -87,44 +86,58 @@ def build_runner3(
     dt: float,
     ops: Ops3 = LOCAL_OPS3,
     t0: float = 0.0,
+    integral_vars=("T", "cl", "cd"),
 ):
     """Build the whole-simulation-as-one-scan program.
 
     Returns ``(run, s0)`` where ``run`` is a jitted ``State -> (final State,
-    worst err², converged flag, per-var final err²)`` — reuse it for honest
-    warm-cache timings (each :func:`run_trial3` call builds a fresh closure,
-    which re-traces)."""
+    worst combined err², converged flag, per-var final H-err²)`` — reuse it
+    for honest warm-cache timings (each :func:`run_trial3` call builds a
+    fresh closure, which re-traces)."""
+    from na_dd_tpu.three_d.inner_products import inner_p3
+    from na_dd_tpu.three_d.stencils import grad_H3
+
     num_steps = max(1, int(math.ceil(Tf / dt)))
     dt_adj = Tf / num_steps
 
     s0 = state_from_mms_when3(mms_case=case, t=t0, grid=g)
 
     def err_sq(s: State, t):
+        """(Σ_v ||e_v||_H², Σ_{v∈integral} ||∇e_v||_p², per-var H²)."""
         ex = state_from_mms_when3(mms_case=case, t=t, grid=g)
         total = 0.0
+        grad_total = 0.0
         per_var = {}
         for v in State._fields:
             e = getattr(s, v) - getattr(ex, v)
             sq = ops.asum(g.w_H * e * e)
             per_var[v] = sq
             total = total + sq
-        return total, per_var
+            if v in integral_vars:
+                gx, gy, gz = grad_H3(ops, g, e)
+                grad_total = grad_total + inner_p3(ops, g, gx, gy, gz, gx, gy, gz)
+        return total, grad_total, per_var
 
     def body(carry, k):
-        s, worst, ok = carry
+        s, worst, integral, prev_grad, ok = carry
         t_k = t0 + k * dt_adj
         s1, diag = integ.step_fn(g, ops, s, t_k, dt_adj)
-        tot, _ = err_sq(s1, t_k + dt_adj)
-        worst = jnp.maximum(worst, tot)
+        tot, grad_sq, _ = err_sq(s1, t_k + dt_adj)
+        # trapezoidal ∫||∇e||² (reference mms_trial_utils.py:40-49)
+        integral = integral + 0.5 * dt_adj * (prev_grad + grad_sq)
+        worst = jnp.maximum(worst, tot + integral)
         ok = jnp.logical_and(ok, diag.krylov_converged)
-        return (s1, worst, ok), None
+        return (s1, worst, integral, grad_sq, ok), None
 
     @jax.jit
     def run(s0):
         ks = jnp.arange(num_steps, dtype=jnp.result_type(float))
-        init = (s0, jnp.asarray(0.0, dtype=g.xx.dtype), jnp.asarray(True))
-        (s_fin, worst, ok), _ = jax.lax.scan(body, init, ks)
-        _, per_var = err_sq(s_fin, t0 + Tf)
+        # the initial state is the exact solution, so both the H error and
+        # the gradient integrand start at exactly 0 (as in the reference)
+        tot0, grad0, _ = err_sq(s0, t0)
+        init = (s0, tot0, jnp.zeros_like(tot0), grad0, jnp.asarray(True))
+        (s_fin, worst, _intg, _pg, ok), _ = jax.lax.scan(body, init, ks)
+        _, _, per_var = err_sq(s_fin, t0 + Tf)
         return s_fin, worst, ok, per_var
 
     return run, s0
@@ -139,11 +152,15 @@ def run_trial3(
     dt: float,
     ops: Ops3 = LOCAL_OPS3,
     t0: float = 0.0,
+    integral_vars=("T", "cl", "cd"),
 ):
     """Run the whole simulation as one jitted scan and return
-    ``{"error": max-over-time combined H error, "errors_final": per-var,
-    "state": final State, "krylov_converged": all-solves flag}``."""
-    run, s0 = build_runner3(g, case, integ, Tf=Tf, dt=dt, ops=ops, t0=t0)
+    ``{"error": the reference-style combined max-integral norm,
+    "errors_final": per-var final H errors, "state": final State,
+    "krylov_converged": all-solves flag}``."""
+    run, s0 = build_runner3(
+        g, case, integ, Tf=Tf, dt=dt, ops=ops, t0=t0, integral_vars=integral_vars
+    )
     s_fin, worst, ok, per_var = run(s0)
     return {
         "error": float(jnp.sqrt(worst)),

@@ -1,0 +1,40 @@
+#!/bin/bash
+# Round-3 3-D TPU measurement queue — run when the tunnel is back.
+# Strictly sequential (only one process may hold the TPU).  Usage:
+#   nohup bash studies/tpu_queue_r3d.sh > /tmp/queue_r3d.log 2>&1 &
+set -x
+cd "$(dirname "$0")/.."
+
+# 1) 3-D model study, f32 production mode (fast compiles), up to N=64
+NA_DD_TPU_X64=0 timeout 3600 python studies/three_d_study.py \
+  --levels 5 --n0 4 --out studies/results/three_d_study_tpu_f32.json
+
+# 2) 3-D model study, f64 parity mode (emulated f64 — slow compiles), to N=16
+timeout 5400 python studies/three_d_study.py \
+  --levels 3 --n0 4 --out studies/results/three_d_study_tpu_f64.json
+
+# 3) 3-D heat solve datapoint (the round-3 in-flight measurement): one CN
+#    step ladder through heat_mms_error at N=64 f32
+NA_DD_TPU_X64=0 timeout 1800 python - <<'EOF'
+import time, json, os
+import jax
+from na_dd_tpu import config
+config.setup_x64()
+config.enable_persistent_compilation_cache()
+from na_dd_tpu.three_d import heat_mms_error
+out = {}
+for N in (16, 32, 64):
+    t0 = time.perf_counter()
+    e = float(heat_mms_error(N, Tf=0.05, dt=0.05/(2*N)))
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    e = float(heat_mms_error(N, Tf=0.05, dt=0.05/(2*N)))
+    warm = time.perf_counter() - t0
+    out[N] = dict(err=e, cold_s=cold, warm_s=warm)
+    print(N, out[N], flush=True)
+json.dump(dict(backend=jax.default_backend(), levels=out),
+          open('studies/results/heat3d_tpu.json', 'w'), indent=1)
+EOF
+
+# 4) full multi-mode bench refresh (warms every mode's cache for the driver)
+timeout 7200 python bench.py

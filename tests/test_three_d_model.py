@@ -160,6 +160,20 @@ def test_avg_int3_polynomial_exactness():
 # ----------------------------------------------------------------------
 # MMS convergence of the full five-field system
 # ----------------------------------------------------------------------
+def test_gradient_norm_weights_exact():
+    """The staggered gradient weights w_gx/w_gy/w_gz must integrate the
+    discrete gradient of u = x exactly: ||∇u||_p² = Σ w_gx
+    = 1 · (1 − 1/M) · (1 − 1/P) on a uniform grid (gx ≡ 1 on its support)."""
+    from na_dd_tpu.three_d.inner_products import norm_p3
+    from na_dd_tpu.three_d.stencils import grad_H3
+
+    g = make_uniform_grid3(5, 4, 8)
+    gx, gy, gz = grad_H3(OPS, g, g.xx)
+    val = float(norm_p3(OPS, g, gx, gy, gz) ** 2)
+    want = (1 - 1 / 4) * (1 - 1 / 8)
+    assert abs(val - want) < 1e-13, (val, want)
+
+
 def test_pc3_spatial_order_2(model):
     """With dt ∝ h both error components contract at order 2, so the combined
     MMS error must show a clean 2nd-order ladder."""
@@ -292,6 +306,80 @@ def test_production_drivers_in_3d(model):
     )
     assert info["steps"] >= 1 and info["t"] >= 5e-3 - 1e-12
     assert np.isfinite(np.asarray(s_ad.T)).all()
+
+
+def test_eta_vmapped_sweep_in_3d(model):
+    """Batched η sweeps work in 3-D exactly as in 2-D: the regularization
+    factor may be a TRACED scalar through field + forcing + corrector, so one
+    vmapped program evaluates every η at once — must match per-η runs to
+    roundoff."""
+    from na_dd_tpu.three_d import (
+        FieldRegHCsTriple3,
+        MMSForcingRegHCsTriple3,
+        PCTrapezoidalRegHCsTriple3,
+    )
+    from na_dd_tpu.three_d.harness import build_runner3
+    from na_dd_tpu.three_d.mms import MMSCaseExpSin3
+
+    g = make_uniform_grid3(4, 4, 4)
+    case = MMSCaseExpSin3(g, model)
+    etas = [10.0, 100.0]
+
+    def run_eta(eta):
+        forcing = MMSForcingRegHCsTriple3(
+            mms_case=case, model=model, regularization_factor=eta
+        )
+        field = FieldRegHCsTriple3(
+            grid=g, model=model, forcing=forcing, regularization_factor=eta
+        )
+        integ = PCTrapezoidalRegHCsTriple3(
+            field, regularization_factor=eta, krylov_unroll=16
+        )
+        run, s0 = build_runner3(g, case, integ, Tf=5e-3, dt=2.5e-3)
+        _s, worst, _ok, _pv = run(s0)
+        return jnp.sqrt(worst)
+
+    serial = np.asarray([float(run_eta(e)) for e in etas])
+    batched = np.asarray(jax.vmap(run_eta)(jnp.asarray(etas)))
+    np.testing.assert_allclose(batched, serial, rtol=1e-13)
+
+
+def test_checkpointed_run_in_3d(model, tmp_path):
+    """run_checkpointed (harness/checkpoint.py) is dimension-agnostic: a 3-D
+    checkpointed run must equal the straight 3-D simulate() result exactly,
+    and resuming from the last checkpoint must reproduce it."""
+    from na_dd_tpu.harness.checkpoint import run_checkpointed
+    from na_dd_tpu.harness.simulate import simulate
+    from na_dd_tpu.three_d import make_integrator3
+
+    g = make_uniform_grid3(5, 5, 5)
+    integ = make_integrator3(g, model)
+    bump = (
+        jnp.sin(jnp.pi * g.xx) * jnp.sin(jnp.pi * g.yy) * jnp.sin(jnp.pi * g.zz)
+    ) * g.interior_mask
+    s0 = State(cp=0.2 * bump, T=0.1 * bump, cl=0.0 * bump, cd=0.05 * bump, cs=bump)
+    dt = 1e-3
+
+    step_fn = lambda s, t, dts: integ.step_fn(g, OPS, s, t, dts)[0]  # noqa: E731
+    d = str(tmp_path / "ck3")
+    s_ck, t_fin = run_checkpointed(
+        step_fn, s0, t0=0.0, dt=dt, num_steps=4, directory=d, every=2
+    )
+    s_straight, _, _ = simulate(integ, g, s0, dt=dt, num_steps=4, ops=OPS)
+    assert abs(t_fin - 4 * dt) < 1e-15
+    for v in State._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(s_ck, v)), np.asarray(getattr(s_straight, v))
+        )
+
+    # resume: drop back to the step-2 checkpoint and integrate to step 4
+    s_res, _ = run_checkpointed(
+        step_fn, s0, t0=0.0, dt=dt, num_steps=4, directory=d, every=2, resume=True
+    )
+    for v in State._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(s_res, v)), np.asarray(getattr(s_ck, v))
+        )
 
 
 # ----------------------------------------------------------------------
