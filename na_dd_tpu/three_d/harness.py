@@ -58,15 +58,19 @@ _VARIANTS = {
 def make_setup3(
     case_cls,
     *,
-    N: int,
     model,
+    N: int | None = None,
     variant: str = "reghcs",
     eta: float = 50.0,
     grid: Grid3 | None = None,
     case_params: Dict | None = None,
     integrator_params: Dict | None = None,
 ):
-    """Assemble (grid, case, field, integrator) for a 3-D MMS trial."""
+    """Assemble (grid, case, field, integrator) for a 3-D MMS trial.
+
+    Exactly one of ``N`` (uniform N³ grid) or ``grid`` must be given."""
+    if (N is None) == (grid is None):
+        raise ValueError("pass exactly one of N (uniform grid) or grid")
     field_cls, forcing_cls, integ_cls = _VARIANTS[variant]
     g = grid if grid is not None else make_uniform_grid3(N, N, N)
     case = case_cls(g, model, **(case_params or {}))
@@ -94,11 +98,13 @@ def build_runner3(
     worst combined err², converged flag, per-var final H-err²)`` — reuse it
     for honest warm-cache timings (each :func:`run_trial3` call builds a
     fresh closure, which re-traces)."""
-    from na_dd_tpu.three_d.inner_products import inner_p3
+    from na_dd_tpu.three_d.inner_products import inner_H3, inner_p3
     from na_dd_tpu.three_d.stencils import grad_H3
 
-    num_steps = max(1, int(math.ceil(Tf / dt)))
-    dt_adj = Tf / num_steps
+    # Tf is the ABSOLUTE final time, as in the 2-D harness and the reference
+    # (harness/trial.py:132-133): integrate t0 -> Tf in equal steps.
+    num_steps = max(1, int(math.ceil((Tf - t0) / dt)))
+    dt_adj = (Tf - t0) / num_steps
 
     s0 = state_from_mms_when3(mms_case=case, t=t0, grid=g)
 
@@ -110,7 +116,7 @@ def build_runner3(
         per_var = {}
         for v in State._fields:
             e = getattr(s, v) - getattr(ex, v)
-            sq = ops.asum(g.w_H * e * e)
+            sq = inner_H3(ops, g, e, e)
             per_var[v] = sq
             total = total + sq
             if v in integral_vars:
@@ -119,7 +125,7 @@ def build_runner3(
         return total, grad_total, per_var
 
     def body(carry, k):
-        s, worst, integral, prev_grad, ok = carry
+        s, worst, integral, prev_grad, ok, hcs_ok = carry
         t_k = t0 + k * dt_adj
         s1, diag = integ.step_fn(g, ops, s, t_k, dt_adj)
         tot, grad_sq, _ = err_sq(s1, t_k + dt_adj)
@@ -127,7 +133,8 @@ def build_runner3(
         integral = integral + 0.5 * dt_adj * (prev_grad + grad_sq)
         worst = jnp.maximum(worst, tot + integral)
         ok = jnp.logical_and(ok, diag.krylov_converged)
-        return (s1, worst, integral, grad_sq, ok), None
+        hcs_ok = jnp.logical_and(hcs_ok, diag.hcs_denominator_ok)
+        return (s1, worst, integral, grad_sq, ok, hcs_ok), None
 
     @jax.jit
     def run(s0):
@@ -135,10 +142,13 @@ def build_runner3(
         # the initial state is the exact solution, so both the H error and
         # the gradient integrand start at exactly 0 (as in the reference)
         tot0, grad0, _ = err_sq(s0, t0)
-        init = (s0, tot0, jnp.zeros_like(tot0), grad0, jnp.asarray(True))
-        (s_fin, worst, _intg, _pg, ok), _ = jax.lax.scan(body, init, ks)
-        _, _, per_var = err_sq(s_fin, t0 + Tf)
-        return s_fin, worst, ok, per_var
+        init = (
+            s0, tot0, jnp.zeros_like(tot0), grad0,
+            jnp.asarray(True), jnp.asarray(True),
+        )
+        (s_fin, worst, _intg, _pg, ok, hcs_ok), _ = jax.lax.scan(body, init, ks)
+        _, _, per_var = err_sq(s_fin, Tf)
+        return s_fin, worst, ok, hcs_ok, per_var
 
     return run, s0
 
@@ -161,7 +171,14 @@ def run_trial3(
     run, s0 = build_runner3(
         g, case, integ, Tf=Tf, dt=dt, ops=ops, t0=t0, integral_vars=integral_vars
     )
-    s_fin, worst, ok, per_var = run(s0)
+    s_fin, worst, ok, hcs_ok, per_var = run(s0)
+    if not bool(hcs_ok):
+        # same hard failure as the 2-D harness (harness/trial.py:250-253)
+        from na_dd_tpu.integrators.pc_trapezoidal import HCsCorrectorPositivityError
+
+        raise HCsCorrectorPositivityError(
+            "Denominator 2 - dt Kd (Sd - Cd1) (1 + Cl1) below positiveness threshold."
+        )
     return {
         "error": float(jnp.sqrt(worst)),
         "errors_final": {v: float(jnp.sqrt(sq)) for v, sq in per_var.items()},

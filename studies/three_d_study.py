@@ -90,7 +90,7 @@ def main():
         t_warm = min(
             _timed(lambda: jax.block_until_ready(run(s0))) for _ in range(3)
         )
-        _s_fin, worst, conv, _per = res
+        _s_fin, worst, conv, _hcs_ok, _per = res
         num_steps = max(1, int(np.ceil(args.tf / dt)))
         lv = dict(
             N=N,

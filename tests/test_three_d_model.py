@@ -271,6 +271,11 @@ def test_integrator3_restrictions(model):
     ):
         with pytest.raises(ValueError):
             PCTrapezoidalRegHCsTriple3(field, regularization_factor=ETA, **kw)
+    # make_setup3 takes exactly one of N / grid
+    with pytest.raises(ValueError):
+        make_setup3(MMSCaseExpSin3, model=model)
+    with pytest.raises(ValueError):
+        make_setup3(MMSCaseExpSin3, N=4, model=model, grid=g)
 
 
 def test_production_drivers_in_3d(model):
@@ -336,7 +341,7 @@ def test_eta_vmapped_sweep_in_3d(model):
             field, regularization_factor=eta, krylov_unroll=16
         )
         run, s0 = build_runner3(g, case, integ, Tf=5e-3, dt=2.5e-3)
-        _s, worst, _ok, _pv = run(s0)
+        _s, worst, _ok, _hcs, _pv = run(s0)
         return jnp.sqrt(worst)
 
     serial = np.asarray([float(run_eta(e)) for e in etas])
@@ -393,7 +398,6 @@ def test_sharded_pc3_step_matches_local(model):
     reproduce the local step to roundoff."""
     g, case, field, integ = make_setup3(
         MMSCaseExpSin3,
-        N=7,
         model=model,
         grid=make_uniform_grid3(7, 7, 6),  # 8 x 8 x 7 arrays: 4 x 2 shards
         integrator_params=dict(krylov_unroll=24),
