@@ -335,9 +335,20 @@ class PCTrapezoidalBase:
 
     def _newton_planes(self, g, ops, L, dt):
         """Planes of the interior Newton operator 2·I − dt·L for a
-        self-Jacobian stencil ``L`` — the one dimension-specific hook in the
-        sweep (the 3-D integrators override with the Stencil7 builder)."""
+        self-Jacobian stencil ``L`` — one of the two dimension-specific hooks
+        in the sweep (the 3-D integrators override with the Stencil7 builder)."""
         return linsolve.newton_planes(g, ops, L, dt)
+
+    def _probe_stencil(self, matvec, g):
+        """Color-probing plane extraction for the generic (stencil_source=
+        "probe") path — the other dimension-specific hook (5-color in 2-D;
+        the 3-D integrators override with the 7-color prober)."""
+        probe = (
+            linsolve.probe_stencil_vmapped
+            if self.probe_vmapped
+            else linsolve.probe_stencil
+        )
+        return probe(matvec, g)
 
     # ------------------------------------------------------------------
     # cp predictor / corrector (shared across variants;
@@ -593,12 +604,7 @@ class PCTrapezoidalBase:
             """Probe/matrix-free path: planes (or just the diagonal) are
             extracted from the linearized-graph matvec."""
             if self.assemble_stencil:
-                probe = (
-                    linsolve.probe_stencil_vmapped
-                    if self.probe_vmapped
-                    else linsolve.probe_stencil
-                )
-                return solve_assembled(probe(matvec, g), rhs)
+                return solve_assembled(self._probe_stencil(matvec, g), rhs)
             diag = linsolve.probe_diag(matvec, red * mask, black * mask)
             inv_diag = jnp.where(mask > 0, 1.0 / jnp.where(diag == 0, 1.0, diag), 0.0)
             return krylov(matvec, rhs, inv_diag)

@@ -38,6 +38,7 @@ from na_dd_tpu.three_d.diffusion import (
     heat_mms_error,
     midpoint_coupling_planes3,
     newton_planes3,
+    probe_stencil3,
     stencil_add_diag3,
 )
 from na_dd_tpu.three_d.fields import (
@@ -117,6 +118,7 @@ __all__ = [
     "advection_planes3",
     "midpoint_coupling_planes3",
     "newton_planes3",
+    "probe_stencil3",
     "stencil_add_diag3",
     "Field3Base",
     "FieldCsTriple3",

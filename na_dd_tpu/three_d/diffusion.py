@@ -166,6 +166,51 @@ def stencil_add_diag3(st: Stencil7, d) -> Stencil7:
     return st._replace(c0=st.c0 + d)
 
 
+# neighbor color offsets for the (i + 2j + 3k) mod 7 coloring
+_OFFSET_DELTA7 = {
+    "c0": 0,
+    "cxm": -1,
+    "cxp": 1,
+    "cym": -2,
+    "cyp": 2,
+    "czm": -3,
+    "czp": 3,
+}
+
+
+def probe_stencil3(matvec, g: Grid3, *, vmapped: bool = False) -> Stencil7:
+    """Extract all seven stencil planes of a distance-1 3-D operator with 7
+    probing products on the (i + 2j + 3k) mod 7 coloring — the 3-D twin of
+    :func:`na_dd_tpu.ops.linsolve.probe_stencil`.
+
+    A node and its six axis neighbors carry pairwise-distinct colors (the
+    offsets {0, ±1, ±2, ±3} are distinct mod 7), so (A 1_c)[ijk] isolates
+    exactly one coefficient per probe: the coefficient of neighbor
+    (i+a, j+b, k+c) lives in the probe of color (color7 + a + 2b + 3c) mod 7.
+    Fully generic — works for ANY distance-1 operator, which is what lets
+    the 3-D integrators cross-validate the analytic planes
+    (tests/test_three_d_model.py).  ``vmapped`` instantiates the linearized
+    graph once, batched over the 7 probes (smaller jaxpr).
+    """
+    import jax
+
+    if vmapped:
+        colors = jnp.stack([(g.color7 == q).astype(g.xx.dtype) for q in range(7)])
+        probes = jax.vmap(matvec)(colors)
+    else:
+        probes = [matvec((g.color7 == q).astype(g.xx.dtype)) for q in range(7)]
+
+    def pick(delta):
+        # select-sum instead of gather (gathers are slow on the TPU VPU)
+        idx = (g.color7 + delta) % 7
+        out = jnp.zeros_like(probes[0])
+        for q in range(7):
+            out = out + jnp.where(idx == q, probes[q], 0.0)
+        return out
+
+    return Stencil7(**{name: pick(d) for name, d in _OFFSET_DELTA7.items()})
+
+
 def crank_nicolson_heat_step(
     g: Grid3,
     ops: Ops3,

@@ -60,6 +60,7 @@ class Grid3:
     w_gy: jax.Array  # h_{i+1/2} k_j l_{k+1/2}; i in 1..N-1, j in 1..M, k in 1..P-1
     w_gz: jax.Array  # h_{i+1/2} k_{j+1/2} l_k; i in 1..N-1, j in 1..M-1, k in 1..P
     red_mask: jax.Array  # 1 where (i+j+k) even — 7-point stencils flip parity
+    color7: jax.Array  # (i + 2j + 3k) mod 7 — distance-1 stencil coloring
     # --- static metadata ---
     N: int = dataclasses.field(metadata=dict(static=True))
     M: int = dataclasses.field(metadata=dict(static=True))
@@ -146,6 +147,11 @@ def make_grid3(x: np.ndarray, y: np.ndarray, z: np.ndarray, dtype=None) -> Grid3
         np.arange(N + 1), np.arange(M + 1), np.arange(P + 1), indexing="ij"
     )
     red_mask = ((ii + jj + kk) % 2 == 0).astype(np.float64)
+    # 7-coloring where a node and its 6 axis neighbors all get distinct
+    # colors: the neighbor at offset (a, b, c) has color (q + a + 2b + 3c)
+    # mod 7 — the offsets {0, ±1, ±2, ±3} are pairwise distinct mod 7
+    # (3-D twin of the 2-D (i + 2j) mod 5 coloring, ops/grid.py:149-151).
+    color7 = ((ii + 2 * jj + 3 * kk) % 7).astype(np.int32)
 
     dev = lambda a: jnp.asarray(a, dtype=dtype or jnp.result_type(float))
     return Grid3(
@@ -173,6 +179,7 @@ def make_grid3(x: np.ndarray, y: np.ndarray, z: np.ndarray, dtype=None) -> Grid3
         w_gy=dev(w_gy),
         w_gz=dev(w_gz),
         red_mask=dev(red_mask),
+        color7=jnp.asarray(color7),
         N=N,
         M=M,
         P=P,

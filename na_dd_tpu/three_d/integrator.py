@@ -10,24 +10,23 @@ Newton cs correctors, the Gauss–Seidel Newton sweep over the triangular
 (T, cl, cd) block, the Krylov drivers (while_loop / unrolled / scanned
 BiCGStab) and the mixed-precision iterative-refinement wrapper were all
 written shape-agnostically (pointwise algebra + ``ops`` reductions +
-stencil ``.apply``).  The 3-D subclasses override exactly two hooks:
+stencil ``.apply``).  The 3-D subclasses override exactly three hooks:
 
 * :meth:`_newton_planes` — builds the interior Newton operator from a
   :class:`~na_dd_tpu.three_d.diffusion.Stencil7` (7 planes instead of 5);
+* :meth:`_probe_stencil` — the generic color-probing plane extractor
+  (7-color (i+2j+3k) mod 7 in 3-D instead of 5-color (i+2j) mod 5);
 * :attr:`_local_ops` — the eager ``.step()`` single-device ops provider.
 
 Restrictions vs the 2-D integrators (validated at construction):
+``stencil_backend="pallas"`` and ``linear_solver="direct"`` are 2-D-only
+(Mosaic kernels and the block-cyclic-reduction factorization address
+(N+1, M+1) layouts).
 
-* ``stencil_source`` must stay ``"analytic"`` when stencils are assembled
-  (the 5-color probe extractor is 2-D; the 3-D analytic planes are
-  cross-validated against ``jax.linearize`` in tests/test_three_d_model.py);
-* ``stencil_backend="pallas"`` and ``linear_solver="direct"`` are 2-D-only
-  (Mosaic kernels and the block-cyclic-reduction factorization address
-  (N+1, M+1) layouts).
-
-``precision="mixed"``, ``krylov_scanned``, ``coupling_source`` ("jvp" or
-"analytic"), multi-sweep scan and the shard-global diagnostics all work in
-3-D through the shared machinery.
+``precision="mixed"``, ``krylov_scanned``, ``stencil_source`` ("analytic" or
+"probe"), ``coupling_source`` ("jvp" or "analytic"), ``assemble_stencil=
+False`` (matrix-free, 2-color-diagonal-probed), multi-sweep scan and the
+shard-global diagnostics all work in 3-D through the shared machinery.
 """
 
 from __future__ import annotations
@@ -38,7 +37,7 @@ from na_dd_tpu.integrators.pc_trapezoidal import (
     PCTrapezoidalHCsTriple,
     PCTrapezoidalRegHCsTriple,
 )
-from na_dd_tpu.three_d.diffusion import newton_planes3
+from na_dd_tpu.three_d.diffusion import newton_planes3, probe_stencil3
 from na_dd_tpu.three_d.shifts import LOCAL_OPS3
 
 
@@ -68,15 +67,13 @@ class _Newton3Mixin:
                 "3-D integrators support linear_solver='krylov' only (the "
                 "BCR direct factorization addresses 2-D row-blocks)"
             )
-        if self.assemble_stencil and self.stencil_source != "analytic":
-            raise ValueError(
-                "3-D integrators support stencil_source='analytic' only "
-                "(the 5-color plane probe is 2-D); set assemble_stencil="
-                "False for the matrix-free diagonally-probed path"
-            )
-
     def _newton_planes(self, g, ops, L, dt):
         return newton_planes3(g, ops, L, dt)
+
+    def _probe_stencil(self, matvec, g):
+        # 7-color probing — the generic path that cross-validates the
+        # analytic Stencil7 planes (stencil_source="probe")
+        return probe_stencil3(matvec, g, vmapped=self.probe_vmapped)
 
 
 class PCTrapezoidalCsTriple3(_Newton3Mixin, PCTrapezoidalCsTriple):

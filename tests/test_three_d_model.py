@@ -267,7 +267,6 @@ def test_integrator3_restrictions(model):
     for kw in (
         dict(stencil_backend="pallas"),
         dict(linear_solver="direct"),
-        dict(stencil_source="probe"),
     ):
         with pytest.raises(ValueError):
             PCTrapezoidalRegHCsTriple3(field, regularization_factor=ETA, **kw)
@@ -276,6 +275,36 @@ def test_integrator3_restrictions(model):
         make_setup3(MMSCaseExpSin3, model=model)
     with pytest.raises(ValueError):
         make_setup3(MMSCaseExpSin3, N=4, model=model, grid=g)
+
+
+def test_probe_and_matrix_free_match_analytic_3d(model):
+    """The generic solve paths — 7-color plane probing of the linearized
+    fields (stencil_source='probe') and the fully matrix-free
+    2-color-diagonal path (assemble_stencil=False) — must reproduce the
+    analytic-plane step: the probed planes ARE the analytic planes (the
+    Jacobians are 7-point by construction), so states agree to solve
+    tolerance."""
+    from na_dd_tpu.three_d import PCTrapezoidalRegHCsTriple3
+
+    g, case, field, integ_an = make_setup3(
+        MMSCaseExpSin3, N=5, model=model, integrator_params=dict(krylov_unroll=24)
+    )
+    s0 = state_from_mms_when3(mms_case=case, t=0.0, grid=g)
+    t0, dt = 0.0, 1e-3
+    s_an, _ = integ_an.step_fn(g, OPS, s0, t0, dt)
+
+    for kw in (
+        dict(stencil_source="probe"),
+        dict(assemble_stencil=False),
+    ):
+        integ = PCTrapezoidalRegHCsTriple3(
+            field, regularization_factor=ETA, krylov_unroll=24, **kw
+        )
+        s_g, diag = integ.step_fn(g, OPS, s0, t0, dt)
+        assert bool(diag.krylov_converged), kw
+        for v in State._fields:
+            d = np.max(np.abs(np.asarray(getattr(s_g, v)) - np.asarray(getattr(s_an, v))))
+            assert d < 1e-11, (kw, v, d)
 
 
 def test_production_drivers_in_3d(model):
