@@ -206,19 +206,138 @@ def build_notebook(study: str, embed_results: bool = True) -> dict:
     }
 
 
+def _three_d_outputs():
+    """Saved outputs for the 3-D study cell from archived JSON (CPU ladder
+    always; TPU f32/f64 ladders appended when their archives exist)."""
+    outputs = []
+    for name, label in [
+        ("three_d_study.json", "CPU f64"),
+        ("three_d_study_tpu_f32.json", "TPU f32"),
+        ("three_d_study_tpu_f64.json", "TPU f64"),
+    ]:
+        path = os.path.join(RESULTS_DIR, name)
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            res = json.load(f)
+        lines = [f"  [{label}] backend={res['backend']} x64={res['x64']}"]
+        for lv in res["levels"]:
+            lines.append(
+                f"  N={lv['N']:4d} ({lv['nodes']:>9,} nodes) dt={lv['dt']:.2e} "
+                f"err={lv['error']:.6e} warm={lv['warm_s']:.3f}s "
+                f"({lv['warm_per_step_s'] * 1e3:.1f} ms/step)"
+            )
+        lines.append("  observed rates: " + ", ".join(f"{r:.3f}" for r in res["rates"]))
+        outputs.append(_stream("\n".join(lines) + "\n"))
+        try:
+            # the plot helper wants the harness's 3-point rates (len-2), not
+            # the study's pairwise log2 ratios (len-1)
+            from na_dd_tpu.harness.rates import calculate_observed_rates
+
+            errors = [lv["error"] for lv in res["levels"]]
+            compat = {
+                "Ns": [lv["N"] for lv in res["levels"]],
+                "errors": errors,
+                "rates": [r for r, _s in calculate_observed_rates(errors)],
+            }
+            outputs.append(
+                _png_output(_rate_plot_png(compat, "Ns", "N", f"3-D spatial ({label})"))
+            )
+        except Exception:
+            pass
+    return outputs or None
+
+
+def build_three_d_notebook(embed_results: bool = True) -> dict:
+    """Notebook presenting the beyond-reference 3-D model capability."""
+    out = _three_d_outputs() if embed_results else None
+    cells = [
+        _md(
+            "# 3-D model convergence study (beyond reference)\n\n"
+            "The reference framework is strictly 2-D.  `na_dd_tpu.three_d`\n"
+            "carries the FULL five-field NA-DD system to (N+1, M+1, P+1)\n"
+            "grids — fields with analytic Stencil7 Jacobian/coupling planes,\n"
+            "a (t,x,y,z) MMS engine, and the complete PC-trapezoidal\n"
+            "integrator family inheriting the 2-D Newton/Krylov/mixed-\n"
+            "precision machinery unchanged.  This notebook runs the spatial\n"
+            "ladder of `studies/three_d_study.py` (dt ∝ h, so both error\n"
+            "components contract at order 2) and reports the reference-style\n"
+            "combined max-integral error norm."
+        ),
+        _code(
+            "import jax\n"
+            "jax.config.update('jax_enable_x64', True)\n"
+            "from na_dd_tpu.config import enable_persistent_compilation_cache\n"
+            "enable_persistent_compilation_cache()\n"
+            "import numpy as np\n"
+            "from na_dd_tpu.models import Model02, default_model_consts\n"
+            "from na_dd_tpu.three_d import MMSCaseExpSin3, make_setup3, run_trial3\n"
+            "MC = default_model_consts._replace(K1=1e-3, K2=1e-3, K3=1e-3, K4=1e-3,\n"
+            "                                   Dl_max=1e-5, Kd=1e-2, Sd=1.0, Dd_max=1e-6)\n"
+            "model = Model02(MC)\n"
+        ),
+        _md("## Spatial ladder (dt ∝ h)"),
+        _code(
+            "errs = []\n"
+            "for k in range(4):\n"
+            "    N, dt = 4 * 2**k, 1e-2 / 2**k\n"
+            "    g, case, field, integ = make_setup3(\n"
+            "        MMSCaseExpSin3, N=N, model=model,\n"
+            "        integrator_params=dict(num_newton_steps=2))\n"
+            "    out = run_trial3(g, case, integ, Tf=0.02, dt=dt)\n"
+            "    errs.append(out['error'])\n"
+            "    print(f'N={N:4d} err={out[\"error\"]:.6e} converged={out[\"krylov_converged\"]}')\n"
+            "print('rates:', [float(np.log2(errs[i]/errs[i+1])) for i in range(len(errs)-1)])\n",
+            outputs=out,
+        ),
+        _md(
+            "## Notes\n\n"
+            "- The same ladder is scriptable via `python studies/three_d_study.py`\n"
+            "  (archives JSON under `studies/results/`).\n"
+            "- Sharded execution: wrap `integ.step_fn` in `jax.shard_map` with\n"
+            "  `HaloOps3` over a 2-D device mesh (x/y halo planes ride ICI; the z\n"
+            "  axis stays on-device as the TPU lane dimension) — numerically gated\n"
+            "  in tests/test_three_d_model.py and the driver dryrun.\n"
+            "- Production runs: `na_dd_tpu.three_d.make_integrator3` + the\n"
+            "  dimension-agnostic `harness.simulate` drivers."
+        ),
+    ]
+    return {
+        "cells": cells,
+        "metadata": {
+            "kernelspec": {"display_name": "Python 3", "language": "python", "name": "python3"},
+            "language_info": {"name": "python", "version": "3.12"},
+        },
+        "nbformat": 4,
+        "nbformat_minor": 5,
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--study", choices=STUDY_KEYS)
     p.add_argument("--all", action="store_true")
+    p.add_argument("--three-d", action="store_true", help="also write the 3-D notebook")
     p.add_argument("--no-embed-results", action="store_true")
     p.add_argument("--outdir", default=os.path.join(os.path.dirname(__file__), "notebooks"))
     args = p.parse_args()
-    studies = STUDY_KEYS if args.all else [args.study or "expsin"]
+    studies = STUDY_KEYS if args.all else ([args.study] if args.study else ["expsin"])
+    if args.three_d and not args.study:
+        studies = studies if args.all else []
     os.makedirs(args.outdir, exist_ok=True)
     for study in studies:
         path = os.path.join(args.outdir, f"{study}_reghcstriple_convergence_study.ipynb")
         with open(path, "w") as f:
             json.dump(build_notebook(study, embed_results=not args.no_embed_results), f, indent=1)
+        print(f"wrote {path}")
+    if args.three_d or args.all:
+        path = os.path.join(args.outdir, "three_d_model_convergence_study.ipynb")
+        with open(path, "w") as f:
+            json.dump(
+                build_three_d_notebook(embed_results=not args.no_embed_results),
+                f,
+                indent=1,
+            )
         print(f"wrote {path}")
 
 
