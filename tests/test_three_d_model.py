@@ -470,3 +470,57 @@ def test_sharded_pc3_step_matches_local(model):
     assert d_res < 1e-12, d_res
     # psum reduction order can flip a tolerance comparison at the boundary
     assert abs(int(iters_sh) - int(diag_local.krylov_iters)) <= 3
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_sharded_pc3_whole_simulation_matches_local(model):
+    """WHOLE-simulation 3-D parity on the 4×2 mesh: multiple PC steps plus
+    the in-scan combined-norm accumulation (H reductions, staggered-gradient
+    p-norms, trapezoid integral) under shard_map must reproduce the local
+    runner — a y-axis halo or weight-partition bug that only compounds over
+    steps would be caught here (the single-step gate above would miss it)."""
+    from na_dd_tpu.three_d.harness import build_runner3
+
+    g, case, _field, integ = make_setup3(
+        MMSCaseExpSin3,
+        model=model,
+        grid=make_uniform_grid3(7, 7, 6),
+        integrator_params=dict(krylov_unroll=24),
+    )
+    Tf, dt = 4e-3, 1e-3
+
+    run_local, s0 = build_runner3(g, case, integ, Tf=Tf, dt=dt)
+    sf_l, worst_l, ok_l, _hcs_l, per_l = run_local(s0)
+    assert bool(ok_l)
+
+    mesh = make_mesh((4, 2), ("x", "y"))
+    hops = HaloOps3(axis_x="x", nx=4, axis_y="y", ny=2)
+    spec = P("x", "y")
+
+    def raw(g_sh, s_sh):
+        run, _s0_sh = build_runner3(g_sh, case, integ, Tf=Tf, dt=dt, ops=hops)
+        s_fin, worst, ok, hcs_ok, per_var = run(s_sh)
+        return s_fin, (worst, ok, hcs_ok, per_var)
+
+    sharded = jax.jit(
+        jax.shard_map(
+            raw,
+            mesh=mesh,
+            in_specs=(spec, spec),
+            out_specs=(spec, P()),
+            check_vma=True,
+        )
+    )
+    put = lambda a: jax.device_put(a, NamedSharding(mesh, P("x", "y", None)))  # noqa: E731
+    sf_s, (worst_s, ok_s, _hcs_s, per_s) = sharded(
+        jax.tree.map(put, g), jax.tree.map(put, s0)
+    )
+    assert bool(ok_s)
+    for v in State._fields:
+        d = np.max(np.abs(np.asarray(getattr(sf_s, v)) - np.asarray(getattr(sf_l, v))))
+        assert d < 1e-12, (v, d)
+        # per-var final H errors: psum-of-partials vs one global sum
+        np.testing.assert_allclose(
+            float(per_s[v]), float(per_l[v]), rtol=1e-8, atol=1e-22
+        )
+    np.testing.assert_allclose(float(worst_s), float(worst_l), rtol=1e-8)
