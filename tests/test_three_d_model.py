@@ -416,6 +416,29 @@ def test_checkpointed_run_in_3d(model, tmp_path):
         )
 
 
+def test_f32_mode_in_3d(model):
+    """The f32 production mode (x64 disabled) must engage end-to-end in 3-D:
+    f32 grid/state, dtype-aware Krylov tolerance, converged solves, and an
+    error within 10% of the f64 value at a coarse level (far above the f32
+    floor) — mirror of tests/test_f32_mode.py."""
+    kw = dict(N=6, model=model, Tf=0.01, dt=2.5e-3)
+    e64 = mms_error3(MMSCaseExpSin3, **kw)
+
+    with jax.enable_x64(False):
+        g, case, _field, integ = make_setup3(
+            MMSCaseExpSin3, N=6, model=model, integrator_params=dict(krylov_unroll=24)
+        )
+        assert g.xx.dtype == jnp.float32
+        assert integ.krylov_tol == 1e-5  # dtype-aware default, resolved f32
+        out = run_trial3(g, case, integ, Tf=0.01, dt=2.5e-3)
+        assert out["state"].T.dtype == jnp.float32
+        assert out["krylov_converged"]
+        e32 = out["error"]
+
+    assert np.isfinite(e32)
+    assert abs(e32 - e64) / e64 < 0.1, (e32, e64)
+
+
 # ----------------------------------------------------------------------
 # sharded parity: the full PC step on a 2-D device mesh
 # ----------------------------------------------------------------------
