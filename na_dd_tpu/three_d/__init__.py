@@ -54,6 +54,7 @@ from na_dd_tpu.three_d.forcing import (
     MMSForcingRegHCsTriple3,
     NoForcing3,
 )
+from na_dd_tpu.three_d.batched_ladder import run_spatial_ladder3_batched
 from na_dd_tpu.three_d.harness import (
     build_runner3,
     make_integrator3,
@@ -149,4 +150,5 @@ __all__ = [
     "make_setup3",
     "mms_error3",
     "run_trial3",
+    "run_spatial_ladder3_batched",
 ]

@@ -39,6 +39,12 @@ def main():
     ap.add_argument("--levels", type=int, default=4)
     ap.add_argument("--n0", type=int, default=4, help="coarsest N (doubles per level)")
     ap.add_argument("--variant", default="reghcs", choices=["cs", "hcs", "reghcs"])
+    ap.add_argument(
+        "--batched",
+        action="store_true",
+        help="run the whole ladder as ONE vmapped XLA program "
+        "(pad-to-max + vmap; RegHCs only)",
+    )
     ap.add_argument("--tf", type=float, default=0.02)
     ap.add_argument("--dt0", type=float, default=1e-2, help="dt at the coarsest level")
     ap.add_argument("--eta", type=float, default=50.0)
@@ -68,6 +74,44 @@ def main():
         K1=1e-3, K2=1e-3, K3=1e-3, K4=1e-3, Dl_max=1e-5, Kd=1e-2, Sd=1.0, Dd_max=1e-6
     )
     model = Model02(MC)
+
+    if args.batched:
+        if args.variant != "reghcs":
+            ap.error("--batched supports the reghcs variant only")
+        from na_dd_tpu.three_d.batched_ladder import run_spatial_ladder3_batched
+
+        res = run_spatial_ladder3_batched(
+            MMSCaseExpSin3,
+            model=model,
+            levels=args.levels,
+            base_N=args.n0,
+            dt0=args.dt0,
+            Tf=args.tf,
+            eta=args.eta,
+            measure_steady=True,
+        )
+        print("observed rates:", [f"{r:.3f}" for r in res["rates"]])
+        ok = (
+            all(abs(r - 2.0) < 0.35 for r in res["rates"][-2:])
+            if len(res["rates"]) >= 2
+            else True
+        )
+        print("[OK]" if ok else "[RATE CHECK FAILED]")
+        res.update(
+            backend=jax.default_backend(),
+            x64=bool(jax.config.jax_enable_x64),
+            timestamp=time.strftime("%Y-%m-%d %H:%M:%S"),
+        )
+        out_path = args.out or os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "results",
+            "three_d_study_batched.json",
+        )
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(res, f, indent=1)
+        print("archived:", out_path)
+        return 0 if ok else 1
 
     levels = []
     for k in range(args.levels):

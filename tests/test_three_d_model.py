@@ -416,6 +416,30 @@ def test_checkpointed_run_in_3d(model, tmp_path):
         )
 
 
+def test_batched_ladder3_matches_serial(model):
+    """The pad-to-max + vmap 3-D ladder (ONE compile for all levels) must
+    reproduce the per-level serial runner: zero padding is exactly inert
+    (0-sentinel metrics, masked weights incl. w_g*, recomputed colorings)."""
+    from na_dd_tpu.three_d.batched_ladder import run_spatial_ladder3_batched
+
+    res = run_spatial_ladder3_batched(
+        MMSCaseExpSin3, model=model, levels=2, base_N=4, verbose=False
+    )
+    for i, N in enumerate(res["Ns"]):
+        e_serial = mms_error3(
+            MMSCaseExpSin3,
+            N=N,
+            model=model,
+            Tf=0.02,
+            dt=1e-2 / 2**i,
+            integrator_params=dict(
+                num_newton_steps=2, krylov_unroll=24, krylov_scanned=True
+            ),
+        )
+        d = abs(res["errors"][i] - e_serial) / e_serial
+        assert d < 1e-12, (N, res["errors"][i], e_serial, d)
+
+
 def test_f32_mode_in_3d(model):
     """The f32 production mode (x64 disabled) must engage end-to-end in 3-D:
     f32 grid/state, dtype-aware Krylov tolerance, converged solves, and an
