@@ -9,9 +9,10 @@ cd "$(dirname "$0")/.."
 NA_DD_TPU_X64=0 timeout 3600 python studies/three_d_study.py \
   --levels 5 --n0 4 --out studies/results/three_d_study_tpu_f32.json
 
-# 2) 3-D model study, f64 parity mode (emulated f64 — slow compiles), to N=16
-timeout 5400 python studies/three_d_study.py \
-  --levels 3 --n0 4 --out studies/results/three_d_study_tpu_f64.json
+# 2) 3-D model study, f64 parity mode (emulated f64 — slow compiles):
+#    batched = ONE compile for the whole ladder (the compile-cost lever)
+timeout 5400 python studies/three_d_study.py --batched \
+  --levels 3 --n0 4 --out studies/results/three_d_study_tpu_f64_batched.json
 
 # 3) 3-D heat solve datapoint (the round-3 in-flight measurement): one CN
 #    step ladder through heat_mms_error at N=64 f32
