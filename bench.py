@@ -157,17 +157,27 @@ def main():
         "BENCH_MODES", "f64,f32,f32_pallas,mixed,mixed_pallas"
     ).split(",")
     results = {}
+    budget = 3600
     for name in selected:
         name = name.strip()
         env = {**os.environ, **MODES[name]}
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single"],
-            env=env,
-            stdout=subprocess.PIPE,
-            stderr=sys.stderr,
-            text=True,
-            timeout=3600,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--single"],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=sys.stderr,
+                text=True,
+                timeout=budget,
+            )
+        except subprocess.TimeoutExpired:
+            # e.g. the axon endpoint is down and the child spins in the
+            # plugin's connect-retry loop — fail the MODE, not the artifact,
+            # and shrink the budget for the remaining modes (they hang the
+            # same way; one JSON line must still be printed below)
+            print(f"[bench] mode {name} TIMED OUT after {budget}s", file=sys.stderr)
+            budget = min(budget, 300)
+            continue
         if proc.returncode != 0:
             print(f"[bench] mode {name} FAILED (rc={proc.returncode})", file=sys.stderr)
             continue
