@@ -163,22 +163,26 @@ def run_spatial_ladder3_batched(
             # dt is (1,1)-shaped (broadcasts against the 3-D arrays; the
             # error reductions below collapse everything back to scalars)
             t_k = k * dt
-            s1, _diag = integ.step_fn(g, LOCAL_OPS3, s, t_k, dt)
+            s1, diag = integ.step_fn(g, LOCAL_OPS3, s, t_k, dt)
             tot, grad = errs_at(g, s1, t_k + dt)
-            return s1, (tot, grad)
+            return s1, (tot, grad, diag.krylov_converged, diag.hcs_denominator_ok)
 
         ks = jnp.arange(P_steps, dtype=jnp.result_type(float))
         tot0, grad0 = errs_at(g, s0, jnp.zeros_like(dt))
-        _s_final, (tot, grad) = jax.lax.scan(body, s0, ks)
+        _s_final, (tot, grad, conv, hcs) = jax.lax.scan(body, s0, ks)
         return (
             jnp.concatenate([tot0.reshape(1), tot]),
             jnp.concatenate([grad0.reshape(1), grad]),
+            conv,
+            hcs,
         )
 
     run = jax.jit(jax.vmap(simulate_one))
 
     t_start = time.perf_counter()
-    tot_all, grad_all = jax.device_get(run(grids, states, dt_batch))
+    tot_all, grad_all, conv_all, hcs_all = jax.device_get(
+        run(grids, states, dt_batch)
+    )
     compile_plus_run = time.perf_counter() - t_start
     steady = None
     if measure_steady:
@@ -194,8 +198,20 @@ def run_spatial_ladder3_batched(
         )
 
     errors: List[float] = []
+    converged: List[bool] = []
     for i, N in enumerate(Ns):
         k = nsteps[i]
+        # only the level's REAL steps gate its flags (overrun rows discarded)
+        if not bool(np.all(hcs_all[i, :k])):
+            from na_dd_tpu.integrators.pc_trapezoidal import (
+                HCsCorrectorPositivityError,
+            )
+
+            raise HCsCorrectorPositivityError(
+                f"level N={N}: denominator 2 - dt Kd (Sd - Cd1) (1 + Cl1) "
+                "below positiveness threshold."
+            )
+        converged.append(bool(np.all(conv_all[i, :k])))
         tot = tot_all[i, : k + 1]
         grad = grad_all[i, : k + 1]
         running = np.concatenate(
@@ -205,7 +221,7 @@ def run_spatial_ladder3_batched(
         if verbose:
             print(
                 f"  [3-D spatial-batched] N={N:4d} dt={dts[i]:.3e} "
-                f"err={errors[-1]:.6e}"
+                f"err={errors[-1]:.6e} conv={converged[-1]}"
             )
 
     rates = calculate_observed_rates(errors) if len(errors) >= 3 else []
@@ -215,6 +231,7 @@ def run_spatial_ladder3_batched(
         Tf=Tf,
         eta=eta,
         errors=errors,
+        converged=converged,
         compile_plus_run_s=compile_plus_run,
         steady_s=steady,
         krylov_unroll=krylov_unroll,

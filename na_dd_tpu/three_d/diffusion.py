@@ -192,8 +192,6 @@ def probe_stencil3(matvec, g: Grid3, *, vmapped: bool = False) -> Stencil7:
     (tests/test_three_d_model.py).  ``vmapped`` instantiates the linearized
     graph once, batched over the 7 probes (smaller jaxpr).
     """
-    import jax
-
     if vmapped:
         colors = jnp.stack([(g.color7 == q).astype(g.xx.dtype) for q in range(7)])
         probes = jax.vmap(matvec)(colors)

@@ -25,6 +25,8 @@ import json
 import os
 import sys
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RESULTS_DIR = os.path.join(os.path.dirname(__file__), "results")
@@ -214,29 +216,52 @@ def _three_d_outputs():
         ("three_d_study.json", "CPU f64"),
         ("three_d_study_tpu_f32.json", "TPU f32"),
         ("three_d_study_tpu_f64.json", "TPU f64"),
+        ("three_d_study_batched.json", "batched"),
+        ("three_d_study_tpu_f64_batched.json", "TPU f64, batched"),
     ]:
         path = os.path.join(RESULTS_DIR, name)
         if not os.path.exists(path):
             continue
         with open(path) as f:
             res = json.load(f)
-        lines = [f"  [{label}] backend={res['backend']} x64={res['x64']}"]
-        for lv in res["levels"]:
+        lines = [
+            f"  [{label}] backend={res.get('backend', '?')} x64={res.get('x64', '?')}"
+        ]
+        if "levels" in res:  # serial-runner schema (per-level timing dicts)
+            Ns = [lv["N"] for lv in res["levels"]]
+            errors = [lv["error"] for lv in res["levels"]]
+            for lv in res["levels"]:
+                lines.append(
+                    f"  N={lv['N']:4d} ({lv['nodes']:>9,} nodes) dt={lv['dt']:.2e} "
+                    f"err={lv['error']:.6e} warm={lv['warm_s']:.3f}s "
+                    f"({lv['warm_per_step_s'] * 1e3:.1f} ms/step)"
+                )
+        else:  # batched-ladder schema (ONE program for the whole ladder)
+            Ns = res["Ns"]
+            errors = res["errors"]
+            for N, err in zip(Ns, errors):
+                lines.append(f"  N={N:4d} err={err:.6e}")
             lines.append(
-                f"  N={lv['N']:4d} ({lv['nodes']:>9,} nodes) dt={lv['dt']:.2e} "
-                f"err={lv['error']:.6e} warm={lv['warm_s']:.3f}s "
-                f"({lv['warm_per_step_s'] * 1e3:.1f} ms/step)"
+                f"  whole ladder in ONE program: compile+run "
+                f"{res['compile_plus_run_s']:.1f}s"
+                + (
+                    f", steady {res['steady_s']:.2f}s"
+                    if res.get("steady_s") is not None
+                    else ""
+                )
             )
-        lines.append("  observed rates: " + ", ".join(f"{r:.3f}" for r in res["rates"]))
+        pairwise = [
+            float(np.log2(errors[i] / errors[i + 1])) for i in range(len(errors) - 1)
+        ]
+        lines.append("  observed rates: " + ", ".join(f"{r:.3f}" for r in pairwise))
         outputs.append(_stream("\n".join(lines) + "\n"))
         try:
             # the plot helper wants the harness's 3-point rates (len-2), not
-            # the study's pairwise log2 ratios (len-1)
+            # the pairwise log2 ratios (len-1)
             from na_dd_tpu.harness.rates import calculate_observed_rates
 
-            errors = [lv["error"] for lv in res["levels"]]
             compat = {
-                "Ns": [lv["N"] for lv in res["levels"]],
+                "Ns": Ns,
                 "errors": errors,
                 "rates": [r for r, _s in calculate_observed_rates(errors)],
             }

@@ -90,13 +90,18 @@ def main():
             eta=args.eta,
             measure_steady=True,
         )
-        print("observed rates:", [f"{r:.3f}" for r in res["rates"]])
-        ok = (
-            all(abs(r - 2.0) < 0.35 for r in res["rates"][-2:])
-            if len(res["rates"]) >= 2
-            else True
+        # gate on the PAIRWISE log2 rates (levels-1 of them), same as the
+        # serial path — the 3-point res['rates'] has only levels-2 entries
+        # and would leave a 3-level run ungated
+        pairwise = [
+            float(np.log2(res["errors"][i] / res["errors"][i + 1]))
+            for i in range(len(res["errors"]) - 1)
+        ]
+        print("observed rates (pairwise):", [f"{r:.3f}" for r in pairwise])
+        ok = all(abs(r - 2.0) < 0.35 for r in pairwise[-2:]) and all(
+            res["converged"]
         )
-        print("[OK]" if ok else "[RATE CHECK FAILED]")
+        print("[OK]" if ok else "[RATE/CONVERGENCE CHECK FAILED]")
         res.update(
             backend=jax.default_backend(),
             x64=bool(jax.config.jax_enable_x64),
