@@ -119,7 +119,8 @@ class PCTrapezoidalBase:
     only pytrees, pointwise algebra, ``ops`` reductions and a stencil object
     with ``.apply``/``.c0`` — the 3-D integrators
     (:mod:`na_dd_tpu.three_d.integrator`) reuse everything here by overriding
-    just :meth:`_newton_planes` and :attr:`_local_ops`."""
+    just :meth:`_newton_planes`, :meth:`_probe_stencil` and
+    :attr:`_local_ops`."""
 
     #: Default single-device ops provider for the eager ``.step()`` API;
     #: the 3-D subclasses override with LOCAL_OPS3.
@@ -402,6 +403,14 @@ class PCTrapezoidalBase:
         mask = g.interior_mask
         dot = lambda u, v: ops.asum(u * v)
 
+        # Squared rhs-noise floors (see solve_assembled): each Newton rhs is
+        # Y − (2s − dt·F), a near-cancellation of O(‖Y‖) quantities, so it
+        # carries ~eps·‖Y‖ of absolute rounding noise.
+        eps_b = 10.0 * float(jnp.finfo(s.T.dtype).eps)
+        noise_T = eps_b * eps_b * dot(YT0, YT0)
+        noise_cl = eps_b * eps_b * dot(Ycl0, Ycl0)
+        noise_cd = eps_b * eps_b * dot(Ycd0, Ycd0)
+
         def krylov(matvec, rhs, inv_diag):
             if self.krylov_unroll is not None:
                 solver = (
@@ -493,7 +502,7 @@ class PCTrapezoidalBase:
                 )
             return delta * mask32, info
 
-        def solve_assembled_mixed(st, rhs, inv_diag):
+        def solve_assembled_mixed(st, rhs, inv_diag, noise_sq=0.0):
             """Iterative refinement: f64 residuals around f32 inner solves.
 
             Classical mixed-precision refinement (Wilkinson; the standard
@@ -528,10 +537,10 @@ class PCTrapezoidalBase:
             return x, {
                 "iters": total_iters,
                 "resnorm_sq": rsq,
-                "converged": rsq <= tol * tol * dot(b, b),
+                "converged": rsq <= jnp.maximum(tol * tol * dot(b, b), noise_sq),
             }
 
-        def solve_direct(st, rhs):
+        def solve_direct(st, rhs, noise_sq=0.0):
             """Exact BCR direct solve (linear_solver='direct'); see
             ops/direct_solve.py for the TPU rationale vs the reference's
             SuperLU spsolve (src/prob1base.py:2109-2130)."""
@@ -545,18 +554,30 @@ class PCTrapezoidalBase:
             return x, {
                 "iters": jnp.asarray(1, dtype=jnp.int32),
                 "resnorm_sq": rsq,
-                "converged": rsq <= tol * tol * dot(b, b),
+                "converged": rsq <= jnp.maximum(tol * tol * dot(b, b), noise_sq),
             }
 
-        def solve_assembled(st, rhs):
-            """Krylov on assembled Newton planes (diag = st.c0 is exact)."""
+        def solve_assembled(st, rhs, noise_sq=0.0):
+            """Krylov on assembled Newton planes (diag = st.c0 is exact).
+
+            ``noise_sq`` is the squared absolute noise floor of the rhs
+            itself: the Newton rhs is formed by near-cancellation of O(‖Y‖)
+            quantities (Y − 2s + dt·F), so b carries ~eps·‖Y‖ of rounding
+            noise and no solver can drive the TRUE residual below it.  The
+            honest-residual paths (mixed refinement, direct) take their
+            convergence target as max(tol²·‖b‖², noise_sq) — without the
+            floor, any solve whose rhs has mostly cancelled (e.g. the second
+            Newton sweep of an already-converged iterate) is flagged
+            unconverged at a residual of ~1e-34.  The recursive-residual
+            Krylov paths are unaffected (their internal residual contracts
+            algebraically and never observes the floor)."""
             inv_diag = jnp.where(
                 mask > 0, 1.0 / jnp.where(st.c0 == 0, 1.0, st.c0), 0.0
             )
             if self.precision == "mixed":
-                return solve_assembled_mixed(st, rhs, inv_diag)
+                return solve_assembled_mixed(st, rhs, inv_diag, noise_sq)
             if self.linear_solver == "direct":
-                return solve_direct(st, rhs)
+                return solve_direct(st, rhs, noise_sq)
             if self.stencil_backend == "pallas" and ops is LOCAL_OPS:
                 from na_dd_tpu.ops.pallas_kernels import (
                     apply_fits,
@@ -600,11 +621,11 @@ class PCTrapezoidalBase:
                 matvec = lambda w: st.apply(ops, w)  # noqa: E731
             return krylov(matvec, rhs, inv_diag)
 
-        def inner_solve(matvec, rhs):
+        def inner_solve(matvec, rhs, noise_sq=0.0):
             """Probe/matrix-free path: planes (or just the diagonal) are
             extracted from the linearized-graph matvec."""
             if self.assemble_stencil:
-                return solve_assembled(self._probe_stencil(matvec, g), rhs)
+                return solve_assembled(self._probe_stencil(matvec, g), rhs, noise_sq)
             diag = linsolve.probe_diag(matvec, red * mask, black * mask)
             inv_diag = jnp.where(mask > 0, 1.0 / jnp.where(diag == 0, 1.0, diag), 0.0)
             return krylov(matvec, rhs, inv_diag)
@@ -671,14 +692,14 @@ class PCTrapezoidalBase:
             fT0 = field.FT(g, ops, s, t1)
             J_T = self._newton_planes(g, ops, field.stencil_dFT_dT(g, ops, s), dt)
             rhs_T = YT0 - (2.0 * s.T - dt * fT0)
-            dT, info_T = solve_assembled(J_T, rhs_T)
+            dT, info_T = solve_assembled(J_T, rhs_T, noise_T)
         else:
             fT0, linT = jax.linearize(
                 lambda T: field.FT(g, ops, s._replace(T=T), t1), s.T
             )
             mv_T = lambda w: (2.0 * (w * mask) - dt * linT(w * mask)) * mask
             rhs_T = YT0 - (2.0 * s.T - dt * fT0)
-            dT, info_T = inner_solve(mv_T, rhs_T)
+            dT, info_T = inner_solve(mv_T, rhs_T, noise_T)
         T1 = s.T * mask + dT  # boundary re-zeroed, as in the reference
 
         # --- cl (reference newton_step_cl, src/prob1base.py:3047-3080) ---
@@ -695,7 +716,7 @@ class PCTrapezoidalBase:
                 )
             J_cl = self._newton_planes(g, ops, field.stencil_dFcl_dcl(g, ops, s), dt)
             rhs_cl = Ycl0 - 2.0 * s.cl + dt * fcl0 + dt * jvp_cl_T
-            dcl, info_cl = solve_assembled(J_cl, rhs_cl)
+            dcl, info_cl = solve_assembled(J_cl, rhs_cl, noise_cl)
         else:
             fcl0, lincl = jax.linearize(
                 lambda T, cl: field.Fcl(g, ops, s._replace(T=T, cl=cl), t1), s.T, s.cl
@@ -703,7 +724,7 @@ class PCTrapezoidalBase:
             zT = jnp.zeros_like(s.T)
             mv_cl = lambda w: (2.0 * (w * mask) - dt * lincl(zT, w * mask)) * mask
             rhs_cl = Ycl0 - 2.0 * s.cl + dt * fcl0 + dt * lincl(wT, jnp.zeros_like(s.cl))
-            dcl, info_cl = inner_solve(mv_cl, rhs_cl)
+            dcl, info_cl = inner_solve(mv_cl, rhs_cl, noise_cl)
         cl1 = s.cl + dcl  # boundary kept, as in the reference
 
         # --- cd (reference newton_step_cd, src/prob1base.py:3082-3115) ---
@@ -722,7 +743,7 @@ class PCTrapezoidalBase:
                 )
             J_cd = self._newton_planes(g, ops, field.stencil_dFcd_dcd(g, ops, s), dt)
             rhs_cd = Ycd0 - 2.0 * s.cd + dt * fcd0 + dt * jvp_cd_Tcl
-            dcd, info_cd = solve_assembled(J_cd, rhs_cd)
+            dcd, info_cd = solve_assembled(J_cd, rhs_cd, noise_cd)
         else:
             lincd_in = jax.linearize(
                 lambda T, cl, cd: field.Fcd(g, ops, s._replace(T=T, cl=cl, cd=cd), t1),
@@ -740,7 +761,7 @@ class PCTrapezoidalBase:
                 + dt * fcd0
                 + dt * lincd(wT, wcl, jnp.zeros_like(s.cd))
             )
-            dcd, info_cd = inner_solve(mv_cd, rhs_cd)
+            dcd, info_cd = inner_solve(mv_cd, rhs_cd, noise_cd)
         cd1 = s.cd + dcd
 
         return self._sweep_tail(

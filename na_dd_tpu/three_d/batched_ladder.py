@@ -99,6 +99,7 @@ def run_spatial_ladder3_batched(
     krylov_unroll: int = 24,
     krylov_scanned: bool = True,
     num_newton_steps: int = 2,
+    precision: str | None = None,
     integral_vars=("T", "cl", "cd"),
     verbose: bool = True,
     measure_steady: bool = False,
@@ -134,6 +135,10 @@ def run_spatial_ladder3_batched(
         krylov_unroll=krylov_unroll,
         krylov_scanned=krylov_scanned,
         num_newton_steps=num_newton_steps,
+        # None → env/default; "mixed" runs every Krylov iteration in native
+        # f32 under f64 refinement — in 2-D this cut the batched ladder's
+        # cold compile+run from 359.8s to 147.5s at full parity (README)
+        precision=precision,
     )
 
     padded_grids, padded_states = [], []

@@ -89,6 +89,7 @@ def main():
             Tf=args.tf,
             eta=args.eta,
             measure_steady=True,
+            precision=os.environ.get("NA_DD_TPU_PRECISION") or None,
         )
         # gate on the PAIRWISE log2 rates (levels-1 of them), same as the
         # serial path — the 3-point res['rates'] has only levels-2 entries

@@ -130,3 +130,25 @@ def test_mixed_iters_diagnostic_counts_all_passes():
     dm = diag_for(precision="mixed")
     assert int(dm.krylov_iters) > int(d64.krylov_iters)
     assert bool(dm.krylov_converged)
+
+
+def test_honest_residual_paths_converged_under_multi_sweep():
+    """The 2nd Newton sweep's rhs is a near-cancellation of O(||Y||) terms,
+    so it carries ~eps·||Y|| of absolute rounding noise; the honest-TRUE-
+    residual paths (mixed refinement, BCR direct) must not flag a solve
+    unconverged for sitting at that floor (their target is
+    max(tol²·||b||², (10·eps·||Y||)²) — regression for a spurious
+    krylov_converged=False at resnorm_sq ~1e-39 with num_newton_steps=2)."""
+    from na_dd_tpu.harness.studies import _make_trial, study_consts
+    from na_dd_tpu.mms import cases as mms_cases
+    from na_dd_tpu.mms.engine import state_from_mms_when
+    from na_dd_tpu.ops import LOCAL_OPS
+
+    for kw in (dict(precision="mixed"), dict(linear_solver="direct")):
+        trial = _make_trial(
+            mms_cases.MMSCasePol, 8, 50.0, mc=study_consts("pol"),
+            krylov_unroll=16, num_newton_steps=2, **kw,
+        )
+        s0 = state_from_mms_when(mms_case=trial.mms_case, t=0.0, grid=trial.grid)
+        _, diag = trial.integrator.step_fn(trial.grid, LOCAL_OPS, s0, 0.0, 1e-3)
+        assert bool(diag.krylov_converged), (kw, float(diag.krylov_resnorm_sq))
