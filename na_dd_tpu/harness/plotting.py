@@ -164,3 +164,50 @@ def visualize_mms_solution(
         plt.close(fig)
         return save_path
     return fig
+
+
+def visualize_mms_solution3(
+    mms_case,
+    time_point: float = 0.1,
+    var: str = "T",
+    z_fracs: Sequence[float] = (0.25, 0.5, 0.75),
+    save_path: Optional[str] = None,
+):
+    """Axial slices of one field of a 3-D manufactured solution: ``var`` at
+    the z-planes nearest ``z_fracs`` of the domain, sharing one colormap —
+    the 3-D companion of :func:`visualize_mms_solution`."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    grid = mms_case.grid
+    vals = np.asarray(
+        getattr(mms_case, var)(time_point, grid.xx, grid.yy, grid.zz)
+    )
+    xx = np.asarray(grid.xx)[:, :, 0]
+    yy = np.asarray(grid.yy)[:, :, 0]
+    z_1d = np.asarray(grid.zz)[0, 0, :]
+    ks = [int(np.argmin(np.abs(z_1d - f))) for f in z_fracs]
+
+    fig, axs = plt.subplots(1, len(ks), figsize=(4.2 * len(ks), 3.9), dpi=110)
+    axs = np.atleast_1d(axs)
+    vmin, vmax = float(vals[:, :, ks].min()), float(vals[:, :, ks].max())
+    im = None
+    for ax, k in zip(axs, ks):
+        im = ax.pcolormesh(
+            xx, yy, vals[:, :, k], cmap="magma" if var == "T" else "cividis",
+            shading="gouraud", vmin=vmin, vmax=vmax,
+        )
+        _style(ax, f"{var} at z = {z_1d[k]:.3g}", "x", "y")
+        ax.set_aspect("equal")
+    fig.colorbar(im, ax=list(axs), shrink=0.85, pad=0.02)
+    fig.suptitle(
+        f"3-D manufactured {var} at t = {time_point:g} (z slices)",
+        color=_FG, fontsize=13, x=0.02, ha="left",
+    )
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight")
+        plt.close(fig)
+        return save_path
+    return fig

@@ -301,6 +301,13 @@ def build_three_d_notebook(embed_results: bool = True) -> dict:
             "                                   Dl_max=1e-5, Kd=1e-2, Sd=1.0, Dd_max=1e-6)\n"
             "model = Model02(MC)\n"
         ),
+        _md("## Visualize the manufactured solution (z slices)"),
+        _code(
+            "from na_dd_tpu.three_d import make_uniform_grid3\n"
+            "from na_dd_tpu.harness.plotting import visualize_mms_solution3\n"
+            "case_viz = MMSCaseExpSin3(make_uniform_grid3(24, 24, 24), model)\n"
+            "visualize_mms_solution3(case_viz, time_point=0.1)\n"
+        ),
         _md("## Spatial ladder (dt ∝ h)"),
         _code(
             "errs = []\n"
