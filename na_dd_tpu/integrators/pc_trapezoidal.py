@@ -405,11 +405,17 @@ class PCTrapezoidalBase:
 
         # Squared rhs-noise floors (see solve_assembled): each Newton rhs is
         # Y − (2s − dt·F), a near-cancellation of O(‖Y‖) quantities, so it
-        # carries ~eps·‖Y‖ of absolute rounding noise.
-        eps_b = 10.0 * float(jnp.finfo(s.T.dtype).eps)
-        noise_T = eps_b * eps_b * dot(YT0, YT0)
-        noise_cl = eps_b * eps_b * dot(Ycl0, Ycl0)
-        noise_cd = eps_b * eps_b * dot(Ycd0, Ycd0)
+        # carries ~eps·‖Y‖ of absolute rounding noise.  Only the honest-
+        # TRUE-residual paths consume these; the static guard keeps the
+        # recursive-residual Krylov programs' jaxprs (and hence their
+        # persistent-compilation-cache keys) bit-identical.
+        if self.precision == "mixed" or self.linear_solver == "direct":
+            eps_b = 10.0 * float(jnp.finfo(s.T.dtype).eps)
+            noise_T = eps_b * eps_b * dot(YT0, YT0)
+            noise_cl = eps_b * eps_b * dot(Ycl0, Ycl0)
+            noise_cd = eps_b * eps_b * dot(Ycd0, Ycd0)
+        else:
+            noise_T = noise_cl = noise_cd = 0.0
 
         def krylov(matvec, rhs, inv_diag):
             if self.krylov_unroll is not None:
