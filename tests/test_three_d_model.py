@@ -425,6 +425,7 @@ def test_batched_ladder3_matches_serial(model):
     res = run_spatial_ladder3_batched(
         MMSCaseExpSin3, model=model, levels=2, base_N=4, verbose=False
     )
+    assert all(res["converged"]), res["converged"]
     for i, N in enumerate(res["Ns"]):
         e_serial = mms_error3(
             MMSCaseExpSin3,
