@@ -520,3 +520,93 @@ def stencil5_apply_pallas(stencil, u, *, interpret: bool = False):
         interpret=interpret,
         **kwargs,
     )(u, stencil.c0, stencil.cxm, stencil.cxp, stencil.cym, stencil.cyp)
+
+
+# ----------------------------------------------------------------------
+# 3-D: single-block Stencil7 apply (beyond-reference extension)
+# ----------------------------------------------------------------------
+
+def _shifted3(u):
+    """The six zero-inflow-shifted copies of a 3-D operand (the
+    :mod:`na_dd_tpu.three_d.shifts` semantics).  Axis 0 is the untiled
+    leading dim; axes 1/2 are the (sublane, lane) pair — same
+    slice+concatenate realization Mosaic lowers to register shifts in the
+    2-D kernels."""
+    zx = jnp.zeros_like(u[:1, :, :])
+    zy = jnp.zeros_like(u[:, :1, :])
+    zz = jnp.zeros_like(u[:, :, :1])
+    u_xm = jnp.concatenate([zx, u[:-1, :, :]], axis=0)
+    u_xp = jnp.concatenate([u[1:, :, :], zx], axis=0)
+    u_ym = jnp.concatenate([zy, u[:, :-1, :]], axis=1)
+    u_yp = jnp.concatenate([u[:, 1:, :], zy], axis=1)
+    u_zm = jnp.concatenate([zz, u[:, :, :-1]], axis=2)
+    u_zp = jnp.concatenate([u[:, :, 1:], zz], axis=2)
+    return u_xm, u_xp, u_ym, u_yp, u_zm, u_zp
+
+
+def _stencil7_kernel(
+    u_ref, c0_ref, cxm_ref, cxp_ref, cym_ref, cyp_ref, czm_ref, czp_ref, out_ref
+):
+    u = u_ref[:]
+    u_xm, u_xp, u_ym, u_yp, u_zm, u_zp = _shifted3(u)
+    out_ref[:] = (
+        c0_ref[:] * u
+        + cxm_ref[:] * u_xm
+        + cxp_ref[:] * u_xp
+        + cym_ref[:] * u_ym
+        + cyp_ref[:] * u_yp
+        + czm_ref[:] * u_zm
+        + czp_ref[:] * u_zp
+    )
+
+
+def apply3_fits(shape, dtype) -> bool:
+    """Whether :func:`stencil7_apply_pallas` (9 live volumes) fits VMEM —
+    about N ≤ 72 for f32 (N+1)³ cubes."""
+    return _footprint_fits(shape, dtype, 9)
+
+
+def stencil7_apply_pallas(stencil, u, *, interpret: bool = False):
+    """out = Stencil7.apply(LOCAL_OPS3, u) as one fused VMEM-resident kernel
+    (3-D twin of :func:`stencil5_apply_pallas`).
+
+    STATUS: exercised in interpret mode (tests/test_three_d_model.py) and
+    numerically identical to the jnp path there; REAL-Mosaic lowering
+    validation is queued on hardware (studies/tpu_queue_r3d.sh) — the 2-D
+    row-tiled kernel taught us interpret mode cannot see lowering
+    constraints, so the 3-D integrators do NOT route through this kernel
+    yet (stencil_backend='pallas' still raises in 3-D).
+    """
+    assert apply3_fits(u.shape, u.dtype), (
+        "stencil7_apply_pallas is a single-block kernel and this operand "
+        "exceeds the VMEM budget — callers must check apply3_fits() and "
+        "fall back to the jnp path"
+    )
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        )
+        in_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    else:
+        in_spec = pl.BlockSpec(memory_space=pl.ANY)
+        out_spec = pl.BlockSpec(memory_space=pl.ANY)
+
+    return pl.pallas_call(
+        _stencil7_kernel,
+        out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
+        in_specs=[in_spec] * 8,
+        out_specs=out_spec,
+        interpret=interpret,
+        **kwargs,
+    )(
+        u,
+        stencil.c0,
+        stencil.cxm,
+        stencil.cxp,
+        stencil.cym,
+        stencil.cyp,
+        stencil.czm,
+        stencil.czp,
+    )

@@ -39,3 +39,42 @@ EOF
 
 # 4) full multi-mode bench refresh (warms every mode's cache for the driver)
 timeout 7200 python bench.py
+
+# 5) 3-D Pallas apply kernel: REAL Mosaic lowering validation + timing
+#    (interpret mode cannot see lowering constraints — 2-D tiled-apply lesson)
+NA_DD_TPU_X64=0 timeout 1800 python - <<'PYEOF'
+import time, json
+import numpy as np
+import jax, jax.numpy as jnp
+from na_dd_tpu import config
+config.setup_x64()
+config.enable_persistent_compilation_cache()
+from na_dd_tpu.models import Model02, default_model_consts
+from na_dd_tpu.ops.pallas_kernels import apply3_fits, stencil7_apply_pallas
+from na_dd_tpu.three_d import (
+    LOCAL_OPS3, MMSCaseExpSin3, make_setup3, newton_planes3,
+    state_from_mms_when3,
+)
+def _t(f):
+    t0 = time.perf_counter(); f(); return time.perf_counter() - t0
+out = {}
+for N in (32, 64):
+    g, case, field, _ = make_setup3(
+        MMSCaseExpSin3, N=N, model=Model02(default_model_consts))
+    s = state_from_mms_when3(mms_case=case, t=0.1, grid=g)
+    st = newton_planes3(g, LOCAL_OPS3, field.stencil_dFcd_dcd(g, LOCAL_OPS3, s), 1e-3)
+    u = jnp.asarray(np.random.RandomState(0).randn(*g.full_shape),
+                    dtype=g.xx.dtype)
+    assert apply3_fits(u.shape, u.dtype)
+    k = jax.jit(lambda st, u: stencil7_apply_pallas(st, u))
+    j = jax.jit(lambda st, u: st.apply(LOCAL_OPS3, u))
+    got = jax.block_until_ready(k(st, u))
+    want = jax.block_until_ready(j(st, u))
+    dev = float(jnp.max(jnp.abs(got - want)))
+    tk = min(_t(lambda: jax.block_until_ready(k(st, u))) for _ in range(20))
+    tj = min(_t(lambda: jax.block_until_ready(j(st, u))) for _ in range(20))
+    out[N] = dict(max_abs_dev=dev, pallas_s=tk, jnp_s=tj)
+    print(N, out[N], flush=True)
+    assert dev < 1e-5 * float(jnp.max(jnp.abs(want))), dev
+json.dump(out, open('studies/results/stencil7_pallas_tpu.json', 'w'), indent=1)
+PYEOF

@@ -441,6 +441,25 @@ def test_batched_ladder3_matches_serial(model):
         assert d < 1e-12, (N, res["errors"][i], e_serial, d)
 
 
+def test_stencil7_pallas_apply_interpret(model):
+    """The 3-D single-block Pallas apply (interpret mode) must equal the jnp
+    Stencil7.apply exactly on a nonuniform grid with a full Newton-operator
+    stencil.  (Real-Mosaic lowering validation is queued on hardware —
+    studies/tpu_queue_r3d.sh; until then the 3-D integrators do not route
+    through the kernel.)"""
+    from na_dd_tpu.ops.pallas_kernels import apply3_fits, stencil7_apply_pallas
+    from na_dd_tpu.three_d import newton_planes3
+
+    rng = np.random.RandomState(11)
+    g, field, s = _rand_setup(model, rng)
+    st = newton_planes3(g, OPS, field.stencil_dFcd_dcd(g, OPS, s), 1e-3)
+    u = jnp.asarray(rng.randn(*g.full_shape))
+    assert apply3_fits(u.shape, u.dtype)
+    got = stencil7_apply_pallas(st, u, interpret=True)
+    want = st.apply(OPS, u)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=1e-12)
+
+
 def test_f32_mode_in_3d(model):
     """The f32 production mode (x64 disabled) must engage end-to-end in 3-D:
     f32 grid/state, dtype-aware Krylov tolerance, converged solves, and an
