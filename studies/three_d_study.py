@@ -140,7 +140,15 @@ def main():
         t_warm = min(
             _timed(lambda: jax.block_until_ready(run(s0))) for _ in range(3)
         )
-        _s_fin, worst, conv, _hcs_ok, _per = res
+        _s_fin, worst, conv, hcs_ok, _per = res
+        if not bool(hcs_ok):
+            from na_dd_tpu.integrators.pc_trapezoidal import (
+                HCsCorrectorPositivityError,
+            )
+
+            raise HCsCorrectorPositivityError(
+                f"level N={N}: HCs corrector denominator lost positivity"
+            )
         num_steps = max(1, int(np.ceil(args.tf / dt)))
         lv = dict(
             N=N,
@@ -164,8 +172,10 @@ def main():
     errs = [lv["error"] for lv in levels]
     rates = [float(np.log2(errs[i] / errs[i + 1])) for i in range(len(errs) - 1)]
     print("observed rates:", [f"{r:.3f}" for r in rates])
-    ok = all(abs(r - 2.0) < 0.35 for r in rates[-2:]) if len(rates) >= 2 else True
-    print("[OK]" if ok else "[RATE CHECK FAILED]")
+    ok = (
+        all(abs(r - 2.0) < 0.35 for r in rates[-2:]) if len(rates) >= 2 else True
+    ) and all(lv["converged"] for lv in levels)
+    print("[OK]" if ok else "[RATE/CONVERGENCE CHECK FAILED]")
 
     result = dict(
         backend=jax.default_backend(),
