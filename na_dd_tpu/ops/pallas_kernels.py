@@ -610,3 +610,87 @@ def stencil7_apply_pallas(stencil, u, *, interpret: bool = False):
         stencil.czm,
         stencil.czp,
     )
+
+
+def _make_bicgstab3_kernel(iters: int, tol: float):
+    def kernel(b_ref, c0_ref, cxm_ref, cxp_ref, cym_ref, cyp_ref,
+               czm_ref, czp_ref, invd_ref, mask_ref, x_ref, iters_ref):
+        c0, cxm, cxp, cym, cyp, czm, czp = (
+            c0_ref[:], cxm_ref[:], cxp_ref[:], cym_ref[:], cyp_ref[:],
+            czm_ref[:], czp_ref[:],
+        )
+
+        def matvec(w):
+            u_xm, u_xp, u_ym, u_yp, u_zm, u_zp = _shifted3(w)
+            return (
+                c0 * w + cxm * u_xm + cxp * u_xp + cym * u_ym + cyp * u_yp
+                + czm * u_zm + czp * u_zp
+            )
+
+        x, iters_used, _r, _tol_sq = _bicgstab_inline(
+            matvec, lambda r: r * invd_ref[:], b_ref[:], tol, iters
+        )
+        x_ref[:] = x * mask_ref[:]
+        iters_ref[0] = iters_used
+
+    return kernel
+
+
+def fused_solve3_fits(shape, dtype) -> bool:
+    """Whether :func:`bicgstab_solve3_pallas`'s single-block footprint
+    (~18 live volumes) fits VMEM — about N ≤ 55 for f32 cubes."""
+    return _footprint_fits(shape, dtype, 18)
+
+
+def bicgstab_solve3_pallas(
+    stencil, b, inv_diag, mask, *, tol: float, iters: int, interpret: bool = False
+):
+    """Whole Jacobi-BiCGStab solve on a Stencil7 system as ONE VMEM-resident
+    kernel — the 3-D twin of :func:`bicgstab_solve_pallas`, sharing the
+    identical :func:`_bicgstab_inline` update (the solver algebra is
+    shape-agnostic; only the in-kernel matvec differs).
+
+    STATUS: interpret-mode exact vs ``bicgstab_unrolled``
+    (tests/test_three_d_model.py); real-Mosaic lowering validation queued
+    on hardware (studies/tpu_queue_r3d.sh) before the 3-D integrators route
+    through it.
+    """
+    assert fused_solve3_fits(b.shape, b.dtype), (
+        "bicgstab_solve3_pallas is a single-block kernel and this operand "
+        "exceeds the VMEM budget — callers must check fused_solve3_fits() "
+        "and fall back to the apply kernel / jnp path"
+    )
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        )
+        spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    else:
+        spec = pl.BlockSpec(memory_space=pl.ANY)
+        scalar_spec = pl.BlockSpec(memory_space=pl.ANY)
+
+    x, iters_used = pl.pallas_call(
+        _make_bicgstab3_kernel(int(iters), float(tol)),
+        out_shape=[
+            jax.ShapeDtypeStruct(b.shape, b.dtype),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ],
+        in_specs=[spec] * 10,
+        out_specs=[spec, scalar_spec],
+        interpret=interpret,
+        **kwargs,
+    )(
+        b, stencil.c0, stencil.cxm, stencil.cxp, stencil.cym, stencil.cyp,
+        stencil.czm, stencil.czp, inv_diag, mask,
+    )
+
+    r = b - stencil7_apply_pallas(stencil, x, interpret=interpret)
+    rsq = jnp.sum(r * r)
+    tol_sq = tol * tol * jnp.sum(b * b)
+    return x, {
+        "iters": iters_used[0],
+        "resnorm_sq": rsq,
+        "converged": rsq <= tol_sq,
+    }

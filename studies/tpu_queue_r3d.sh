@@ -76,5 +76,29 @@ for N in (32, 64):
     out[N] = dict(max_abs_dev=dev, pallas_s=tk, jnp_s=tj)
     print(N, out[N], flush=True)
     assert dev < 1e-5 * float(jnp.max(jnp.abs(want))), dev
+    # fused whole-solve kernel (fits to N<=~55 f32)
+    from na_dd_tpu.ops.pallas_kernels import bicgstab_solve3_pallas, fused_solve3_fits
+    from na_dd_tpu.ops import linsolve
+    if fused_solve3_fits(u.shape, u.dtype):
+        mask = g.interior_mask
+        b = u * mask
+        invd = jnp.where(mask > 0, 1.0 / jnp.where(st.c0 == 0, 1.0, st.c0), 0.0)
+        xk, infok = bicgstab_solve3_pallas(st, b, invd, mask, tol=1e-5, iters=48)
+        xu, infou = linsolve.bicgstab_unrolled(
+            lambda w: st.apply(LOCAL_OPS3, w), b, jnp.zeros_like(b),
+            dot=lambda a, c: jnp.sum(a * c), minv=lambda r: r * invd,
+            tol=1e-5, iters=48)
+        dsol = float(jnp.max(jnp.abs(xk * mask - xu * mask)))
+        out[N]['solve_max_abs_dev'] = dsol
+        out[N]['solve_iters'] = [int(infok['iters']), int(infou['iters'])]
+        ks = jax.jit(lambda st, b: bicgstab_solve3_pallas(st, b, invd, mask, tol=1e-5, iters=48)[0])
+        ju = jax.jit(lambda st, b: linsolve.bicgstab_unrolled(
+            lambda w: st.apply(LOCAL_OPS3, w), b, jnp.zeros_like(b),
+            dot=lambda a, c: jnp.sum(a * c), minv=lambda r: r * invd,
+            tol=1e-5, iters=48)[0])
+        jax.block_until_ready(ks(st, b)); jax.block_until_ready(ju(st, b))
+        out[N]['solve_pallas_s'] = min(_t(lambda: jax.block_until_ready(ks(st, b))) for _ in range(10))
+        out[N]['solve_jnp_s'] = min(_t(lambda: jax.block_until_ready(ju(st, b))) for _ in range(10))
+        print(N, 'solve', {k: out[N][k] for k in ('solve_max_abs_dev','solve_iters','solve_pallas_s','solve_jnp_s')}, flush=True)
 json.dump(out, open('studies/results/stencil7_pallas_tpu.json', 'w'), indent=1)
 PYEOF

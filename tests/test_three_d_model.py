@@ -460,6 +460,41 @@ def test_stencil7_pallas_apply_interpret(model):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=1e-12)
 
 
+def test_bicgstab_solve3_pallas_interpret(model):
+    """The fused 3-D whole-solve kernel (interpret mode) must reproduce
+    bicgstab_unrolled on a Newton system: same solution, same effective
+    iteration count (identical _bicgstab_inline update)."""
+    from na_dd_tpu.ops import linsolve
+    from na_dd_tpu.ops.pallas_kernels import bicgstab_solve3_pallas, fused_solve3_fits
+    from na_dd_tpu.three_d import newton_planes3
+
+    rng = np.random.RandomState(12)
+    g, field, s = _rand_setup(model, rng)
+    st = newton_planes3(g, OPS, field.stencil_dFT_dT(g, OPS, s), 1e-3)
+    mask = g.interior_mask
+    b = jnp.asarray(rng.randn(*g.full_shape)) * mask
+    inv_diag = jnp.where(mask > 0, 1.0 / jnp.where(st.c0 == 0, 1.0, st.c0), 0.0)
+    assert fused_solve3_fits(b.shape, b.dtype)
+
+    x_k, info_k = bicgstab_solve3_pallas(
+        st, b, inv_diag, mask, tol=1e-13, iters=32, interpret=True
+    )
+    x_u, info_u = linsolve.bicgstab_unrolled(
+        lambda w: st.apply(OPS, w),
+        b,
+        jnp.zeros_like(b),
+        dot=lambda u, v: OPS.asum(u * v),
+        minv=lambda r: r * inv_diag,
+        tol=1e-13,
+        iters=32,
+    )
+    assert bool(info_k["converged"]) and bool(info_u["converged"])
+    assert int(info_k["iters"]) == int(info_u["iters"])
+    np.testing.assert_allclose(
+        np.asarray(x_k * mask), np.asarray(x_u * mask), rtol=0, atol=1e-12
+    )
+
+
 def test_f32_mode_in_3d(model):
     """The f32 production mode (x64 disabled) must engage end-to-end in 3-D:
     f32 grid/state, dtype-aware Krylov tolerance, converged solves, and an
