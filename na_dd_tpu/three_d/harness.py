@@ -219,6 +219,59 @@ def make_integrator3(
     return integ_cls(field, track_residuals=False, **integ_kwargs)
 
 
+def run_eta_sweep3(
+    case_cls,
+    *,
+    model,
+    N: int,
+    Tf: float,
+    dt: float,
+    etas,
+    krylov_unroll: int = 24,
+    krylov_scanned: bool = True,
+):
+    """Batched regularization-factor sweep in 3-D: ONE vmapped program
+    evaluates every η at once (the 3-D twin of the 2-D
+    ``run_eta_study_batched``; η is traced through field + forcing +
+    corrector — cross-checked against per-η runs in
+    tests/test_three_d_model.py).  Returns
+    ``{"etas", "errors", "converged"}``."""
+    import jax
+
+    from na_dd_tpu.three_d.fields import FieldRegHCsTriple3
+    from na_dd_tpu.three_d.forcing import MMSForcingRegHCsTriple3
+    from na_dd_tpu.three_d.integrator import PCTrapezoidalRegHCsTriple3
+
+    g = make_uniform_grid3(N, N, N)
+    case = case_cls(g, model)
+
+    def run_eta(eta):
+        forcing = MMSForcingRegHCsTriple3(
+            mms_case=case, model=model, regularization_factor=eta
+        )
+        field = FieldRegHCsTriple3(
+            grid=g, model=model, forcing=forcing, regularization_factor=eta
+        )
+        integ = PCTrapezoidalRegHCsTriple3(
+            field,
+            regularization_factor=eta,
+            track_residuals=False,
+            krylov_unroll=krylov_unroll,
+            # scanned body: vmap of the unrolled solver blows up XLA compile
+            krylov_scanned=krylov_scanned,
+        )
+        run, s0 = build_runner3(g, case, integ, Tf=Tf, dt=dt)
+        _s, worst, ok, _hcs, _pv = run(s0)
+        return jnp.sqrt(worst), ok
+
+    errs, oks = jax.vmap(run_eta)(jnp.asarray(etas, dtype=jnp.result_type(float)))
+    return {
+        "etas": [float(e) for e in etas],
+        "errors": [float(e) for e in errs],
+        "converged": [bool(o) for o in oks],
+    }
+
+
 def mms_error3(
     case_cls,
     *,

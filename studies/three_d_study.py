@@ -45,6 +45,12 @@ def main():
         help="run the whole ladder as ONE vmapped XLA program "
         "(pad-to-max + vmap; RegHCs only)",
     )
+    ap.add_argument(
+        "--eta-sweep",
+        action="store_true",
+        help="regularization sweep eta=10..1000 (7 values) at N=--n0, "
+        "dt=--dt0, as ONE vmapped program (RegHCs)",
+    )
     ap.add_argument("--tf", type=float, default=0.02)
     ap.add_argument("--dt0", type=float, default=1e-2, help="dt at the coarsest level")
     ap.add_argument("--eta", type=float, default=50.0)
@@ -74,6 +80,38 @@ def main():
         K1=1e-3, K2=1e-3, K3=1e-3, K4=1e-3, Dl_max=1e-5, Kd=1e-2, Sd=1.0, Dd_max=1e-6
     )
     model = Model02(MC)
+
+    if args.eta_sweep:
+        from na_dd_tpu.three_d.harness import run_eta_sweep3
+
+        etas = [float(x) for x in np.logspace(1, 3, 7)]
+        t0 = time.perf_counter()
+        res = run_eta_sweep3(
+            MMSCaseExpSin3, model=model, N=args.n0, Tf=args.tf,
+            dt=args.dt0, etas=etas,
+        )
+        wall = time.perf_counter() - t0
+        for eta, err, conv in zip(res["etas"], res["errors"], res["converged"]):
+            print(f"eta={eta:8.2f} err={err:.6e} conv={conv}", flush=True)
+        ok = all(res["converged"]) and all(np.isfinite(res["errors"]))
+        print(f"whole sweep in one vmapped program: {wall:.1f}s")
+        print("[OK]" if ok else "[CONVERGENCE CHECK FAILED]")
+        res.update(
+            backend=jax.default_backend(),
+            x64=bool(jax.config.jax_enable_x64),
+            N=args.n0, Tf=args.tf, dt=args.dt0, wallclock_s=wall,
+            timestamp=time.strftime("%Y-%m-%d %H:%M:%S"),
+        )
+        out_path = args.out or os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "results",
+            "three_d_eta_sweep.json",
+        )
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(res, f, indent=1)
+        print("archived:", out_path)
+        return 0 if ok else 1
 
     if args.batched:
         if args.variant != "reghcs":
