@@ -69,6 +69,7 @@ from na_dd_tpu.three_d.integrator import (
     PCTrapezoidalRegHCsTriple3,
 )
 from na_dd_tpu.three_d.mms import (
+    MMSCaseCsZeroCrossing3,
     MMSCaseExpSin3,
     MMSCasePol3,
     MMSCaseSymbolic3,
@@ -135,6 +136,7 @@ __all__ = [
     "PCTrapezoidalHCsTriple3",
     "PCTrapezoidalRegHCsTriple3",
     "MMSCaseSymbolic3",
+    "MMSCaseCsZeroCrossing3",
     "MMSCasePol3",
     "MMSCaseExpSin3",
     "pack_symbolic_txyz_with_derivatives",

@@ -188,6 +188,25 @@ class MMSCasePol3(MMSCaseSymbolic3):
         )
 
 
+class MMSCaseCsZeroCrossing3(MMSCaseSymbolic3):
+    """cp = T = cl = cd = 0; cs = (A − B t) W crosses zero — exercises the
+    Heaviside switching in 3-D (2-D twin: mms/cases.MMSCaseCsZeroCrossing,
+    reference src/prob1_mms_cases.py:341-403)."""
+
+    def __init__(self, grid, model, *, cs_A: float = 0.5, cs_B: float = 1.0):
+        zero = sympy.S(0)
+        cs = (sympy.Float(cs_A) - sympy.Float(cs_B) * t_sym) * _W_POLY3
+        super().__init__(
+            grid=grid,
+            model=model,
+            cp_sym_expr=zero,
+            T_sym_expr=zero,
+            cl_sym_expr=zero,
+            cd_sym_expr=zero,
+            cs_sym_expr=cs,
+        )
+
+
 class MMSCaseExpSin3(MMSCaseSymbolic3):
     """3-D analogue of the expsin case: W = sin(πx) sin(πy) sin(πz),
     φ(t) = e^{-t} — smooth, non-polynomial spatial profile (so the spatial

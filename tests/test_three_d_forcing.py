@@ -149,6 +149,43 @@ def test_fcd_fcs_residual_identity_fd_divergence(setup):
     np.testing.assert_allclose(np.asarray(got_cs), np.asarray(want_cs), atol=1e-10)
 
 
+@pytest.mark.parametrize("t", [0.1, 0.5, 0.9])  # before / at / after crossing
+def test_fcs_variants_across_zero_crossing_3d(t):
+    """With cp=T=cl=cd=0 and cs = (0.5 − t)W crossing zero, fcs reduces to
+    dt_cs + Kd·Sd·F2(cs)/Kd per variant — the 3-D twin of the 2-D
+    zero-crossing forcing test (tests/test_forcing.py)."""
+    from na_dd_tpu.three_d import (
+        MMSCaseCsZeroCrossing3,
+        MMSForcingHCsTriple3,
+        make_uniform_grid3,
+    )
+
+    g = make_uniform_grid3(4, 4, 4)
+    model = Model02(MC)
+    case = MMSCaseCsZeroCrossing3(g, model, cs_A=0.5, cs_B=1.0)
+
+    xx, yy, zz = np.asarray(g.xx), np.asarray(g.yy), np.asarray(g.zz)
+    W = xx * (1 - xx) * yy * (1 - yy) * zz * (1 - zz)
+    cs = (0.5 - t) * W
+    dt_cs = -W
+    for forcing, factor in [
+        (MMSForcingCsTriple3(mms_case=case, model=model), cs),
+        (
+            MMSForcingHCsTriple3(mms_case=case, model=model),
+            (cs > 0).astype(float),
+        ),
+        (
+            MMSForcingRegHCsTriple3(
+                mms_case=case, model=model, regularization_factor=ETA
+            ),
+            np.asarray(heaviside_regularized(jnp.asarray(cs), ETA)),
+        ),
+    ]:
+        expected = dt_cs + MC.Kd * MC.Sd * factor
+        got = np.asarray(forcing.fcs(g, LOCAL_OPS3, t))
+        np.testing.assert_allclose(got, expected, rtol=1e-12, atol=1e-14)
+
+
 def test_fcp_cell_average_projection_3d(setup):
     """fcp must be the 27-point Gauss–Legendre dual-cell average of the
     pointwise residual, matching it to quadrature order at cell centers."""
