@@ -247,6 +247,29 @@ def test_pc3_other_variants_run_and_converge(model, variant):
     assert 0 < out["error"] < 1e-2, out["error"]
 
 
+@pytest.mark.parametrize("variant", ["hcs", "reghcs"])
+def test_pc3_heaviside_variants_through_zero_crossing(model, variant):
+    """Integrate THROUGH the cs zero crossing (cs = (0.005 − t)W, crossing at
+    t = 0.005 < Tf): the sharp/regularized Heaviside correctors must stay
+    converged with a small error — the switching scenario the Heaviside
+    machinery exists for (2-D twins: tests/test_hcs_corrector.py etc.)."""
+    from na_dd_tpu.three_d import MMSCaseCsZeroCrossing3
+
+    g, case, _field, integ = make_setup3(
+        MMSCaseCsZeroCrossing3,
+        N=4,
+        model=model,
+        variant=variant,
+        case_params=dict(cs_A=0.005, cs_B=1.0),
+    )
+    out = run_trial3(g, case, integ, Tf=0.01, dt=1e-3)
+    assert out["krylov_converged"]
+    assert 0 <= out["error"] < 1e-3, out["error"]
+    # the solution really crossed: exact cs at Tf is negative in the interior
+    ex = state_from_mms_when3(mms_case=case, t=0.01, grid=g)
+    assert float(ex.cs[2, 2, 2]) < 0.0
+
+
 def test_pc3_mixed_precision_matches_full(model):
     """precision='mixed' (f32 Krylov under f64 refinement) must reproduce the
     full-f64 3-D run to refinement accuracy — the shared wrapper, now on
