@@ -180,10 +180,14 @@ def main():
             print(f"[bench] mode {name} TIMED OUT after {budget}s", file=sys.stderr)
             consecutive_timeouts += 1
             continue
-        consecutive_timeouts = 0
         if proc.returncode != 0:
+            # a fast failure (e.g. UNAVAILABLE backend) does NOT reset the
+            # timeout counter: during an endpoint outage the symptoms
+            # alternate between fast-fail and hang (CLAUDE.md), and a reset
+            # would keep re-arming the 3600s budget for the hanging modes
             print(f"[bench] mode {name} FAILED (rc={proc.returncode})", file=sys.stderr)
             continue
+        consecutive_timeouts = 0
         line = proc.stdout.strip().splitlines()[-1]
         results[name] = json.loads(line)
 

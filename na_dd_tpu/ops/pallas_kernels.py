@@ -560,10 +560,26 @@ def _stencil7_kernel(
     )
 
 
+def _footprint_fits3(shape, dtype, live_volumes: int) -> bool:
+    """VMEM fit check for 3-D single-block kernels with Mosaic TILE PADDING:
+    the last two dims are laid out in (sublane, lane) = (8, 128) tiles, so a
+    (A, B, C) f32 volume occupies A·ceil8(B)·ceil128(C) elements — ~2x the
+    naive element count for the odd (N+1)³ cubes here.  (The 2-D row-tiled
+    kernel was bitten by exactly this naive-accounting gap: budgeted 8.3 MB,
+    XLA demanded 15.9 MB — _pick_row_tile docstring.)"""
+    import numpy as np
+
+    a, b, c = shape
+    b_pad = -(-b // 8) * 8
+    c_pad = -(-c // 128) * 128
+    itemsize = np.dtype(dtype).itemsize
+    return a * b_pad * c_pad * itemsize * live_volumes <= _VMEM_LIMIT_BYTES
+
+
 def apply3_fits(shape, dtype) -> bool:
-    """Whether :func:`stencil7_apply_pallas` (9 live volumes) fits VMEM —
-    about N ≤ 72 for f32 (N+1)³ cubes."""
-    return _footprint_fits(shape, dtype, 9)
+    """Whether :func:`stencil7_apply_pallas` (9 live volumes, tile-padded)
+    fits VMEM — about N ≤ 55 for f32 (N+1)³ cubes."""
+    return _footprint_fits3(shape, dtype, 9)
 
 
 def stencil7_apply_pallas(stencil, u, *, interpret: bool = False):
@@ -638,8 +654,8 @@ def _make_bicgstab3_kernel(iters: int, tol: float):
 
 def fused_solve3_fits(shape, dtype) -> bool:
     """Whether :func:`bicgstab_solve3_pallas`'s single-block footprint
-    (~18 live volumes) fits VMEM — about N ≤ 55 for f32 cubes."""
-    return _footprint_fits(shape, dtype, 18)
+    (~18 live volumes, tile-padded) fits VMEM — about N ≤ 38 for f32 cubes."""
+    return _footprint_fits3(shape, dtype, 18)
 
 
 def bicgstab_solve3_pallas(

@@ -234,10 +234,10 @@ def run_eta_sweep3(
     evaluates every η at once (the 3-D twin of the 2-D
     ``run_eta_study_batched``; η is traced through field + forcing +
     corrector — cross-checked against per-η runs in
-    tests/test_three_d_model.py).  Returns
+    tests/test_three_d_model.py).  Raises
+    :class:`~na_dd_tpu.integrators.pc_trapezoidal.HCsCorrectorPositivityError`
+    if any η's corrector lost positivity.  Returns
     ``{"etas", "errors", "converged"}``."""
-    import jax
-
     from na_dd_tpu.three_d.fields import FieldRegHCsTriple3
     from na_dd_tpu.three_d.forcing import MMSForcingRegHCsTriple3
     from na_dd_tpu.three_d.integrator import PCTrapezoidalRegHCsTriple3
@@ -261,10 +261,21 @@ def run_eta_sweep3(
             krylov_scanned=krylov_scanned,
         )
         run, s0 = build_runner3(g, case, integ, Tf=Tf, dt=dt)
-        _s, worst, ok, _hcs, _pv = run(s0)
-        return jnp.sqrt(worst), ok
+        _s, worst, ok, hcs, _pv = run(s0)
+        return jnp.sqrt(worst), ok, hcs
 
-    errs, oks = jax.vmap(run_eta)(jnp.asarray(etas, dtype=jnp.result_type(float)))
+    errs, oks, hcs = jax.vmap(run_eta)(
+        jnp.asarray(etas, dtype=jnp.result_type(float))
+    )
+    if not bool(jnp.all(hcs)):
+        from na_dd_tpu.integrators.pc_trapezoidal import (
+            HCsCorrectorPositivityError,
+        )
+
+        bad = [float(e) for e, h in zip(etas, hcs) if not bool(h)]
+        raise HCsCorrectorPositivityError(
+            f"HCs corrector denominator lost positivity for eta in {bad}"
+        )
     return {
         "etas": [float(e) for e in etas],
         "errors": [float(e) for e in errs],

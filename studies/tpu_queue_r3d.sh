@@ -58,14 +58,16 @@ from na_dd_tpu.three_d import (
 def _t(f):
     t0 = time.perf_counter(); f(); return time.perf_counter() - t0
 out = {}
-for N in (32, 64):
+for N in (32, 48):  # apply fits to N<=55 (tile-padded); fused to N<=38
     g, case, field, _ = make_setup3(
         MMSCaseExpSin3, N=N, model=Model02(default_model_consts))
     s = state_from_mms_when3(mms_case=case, t=0.1, grid=g)
     st = newton_planes3(g, LOCAL_OPS3, field.stencil_dFcd_dcd(g, LOCAL_OPS3, s), 1e-3)
     u = jnp.asarray(np.random.RandomState(0).randn(*g.full_shape),
                     dtype=g.xx.dtype)
-    assert apply3_fits(u.shape, u.dtype)
+    if not apply3_fits(u.shape, u.dtype):
+        print(N, 'apply3 does not fit VMEM; skipping', flush=True)
+        continue
     k = jax.jit(lambda st, u: stencil7_apply_pallas(st, u))
     j = jax.jit(lambda st, u: st.apply(LOCAL_OPS3, u))
     got = jax.block_until_ready(k(st, u))
@@ -100,5 +102,7 @@ for N in (32, 64):
         out[N]['solve_pallas_s'] = min(_t(lambda: jax.block_until_ready(ks(st, b))) for _ in range(10))
         out[N]['solve_jnp_s'] = min(_t(lambda: jax.block_until_ready(ju(st, b))) for _ in range(10))
         print(N, 'solve', {k: out[N][k] for k in ('solve_max_abs_dev','solve_iters','solve_pallas_s','solve_jnp_s')}, flush=True)
+    # dump incrementally: a failure at a later N keeps earlier datapoints
+    json.dump(out, open('studies/results/stencil7_pallas_tpu.json', 'w'), indent=1)
 json.dump(out, open('studies/results/stencil7_pallas_tpu.json', 'w'), indent=1)
 PYEOF

@@ -67,17 +67,16 @@ def test_fT_residual_identity(setup):
     )
     rhs = model.DT * lap - model.K3 * case.cp(T0, x, y, z) * case.T(T0, x, y, z)
     want = case.dt_T(T0, x, y, z) - rhs
-    # evaluate the forcing's closed form at the same points via a tiny grid
-    got = forcing.fT(g, LOCAL_OPS3, T0)
-    # compare against a direct re-evaluation of the forcing formula at pts
-    # (fT is pointwise in the coordinates, so call the symbolic machinery
-    # through a coordinate-shaped probe)
-    got_pts = case.dt_T(T0, x, y, z) - (
-        model.DT * case.lap_T(T0, x, y, z)
-        - model.K3 * case.cp(T0, x, y, z) * case.T(T0, x, y, z)
-    )
-    np.testing.assert_allclose(np.asarray(got_pts), np.asarray(want), atol=5e-8)
-    assert np.isfinite(np.asarray(got)).all()
+
+    # the PRODUCTION forcing evaluated at the same coordinates (fT is
+    # pointwise in (t, x, y, z); grid only provides coordinates)
+    class _P:
+        xx, yy, zz = x, y, z
+
+    got = forcing.fT(_P, LOCAL_OPS3, T0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-8)
+    # and on the real grid it stays finite everywhere
+    assert np.isfinite(np.asarray(forcing.fT(g, LOCAL_OPS3, T0))).all()
 
 
 def test_fcl_residual_identity_fd_divergence(setup):
