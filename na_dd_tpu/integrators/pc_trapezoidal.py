@@ -119,8 +119,8 @@ class PCTrapezoidalBase:
     only pytrees, pointwise algebra, ``ops`` reductions and a stencil object
     with ``.apply``/``.c0`` — the 3-D integrators
     (:mod:`na_dd_tpu.three_d.integrator`) reuse everything here by overriding
-    just :meth:`_newton_planes`, :meth:`_probe_stencil` and
-    :attr:`_local_ops`."""
+    just :meth:`_newton_planes`, :meth:`_probe_stencil`, :meth:`_pallas_ops`
+    and :attr:`_local_ops`."""
 
     #: Default single-device ops provider for the eager ``.step()`` API;
     #: the 3-D subclasses override with LOCAL_OPS3.
@@ -351,6 +351,22 @@ class PCTrapezoidalBase:
         )
         return probe(matvec, g)
 
+    def _pallas_ops(self):
+        """Kernel entry points for ``stencil_backend="pallas"`` — the third
+        dimension-specific hook.  Returns ``(apply_fits, apply, apply_tiled,
+        fused_fits, fused_solve)``; ``apply_tiled`` may be None (no tiled
+        kernel in that dimension — callers fall back to the jnp apply beyond
+        the single-block VMEM budget)."""
+        from na_dd_tpu.ops import pallas_kernels as pk
+
+        return (
+            pk.apply_fits,
+            pk.stencil5_apply_pallas,
+            pk.stencil5_apply_tiled,
+            pk.fused_solve_fits,
+            pk.bicgstab_solve_pallas,
+        )
+
     # ------------------------------------------------------------------
     # cp predictor / corrector (shared across variants;
     # reference src/prob1base.py:2953-2996)
@@ -462,31 +478,27 @@ class PCTrapezoidalBase:
                     "resnorm_sq": jnp.asarray(0.0, dtype=b32.dtype),
                     "converged": jnp.asarray(True),
                 }
-            if self.stencil_backend == "pallas" and ops is LOCAL_OPS:
-                from na_dd_tpu.ops.pallas_kernels import (
-                    apply_fits,
-                    bicgstab_solve_pallas,
-                    fused_solve_fits,
-                    stencil5_apply_pallas,
-                    stencil5_apply_tiled,
-                )
+            if self.stencil_backend == "pallas" and ops is self._local_ops:
+                afits, apply_k, apply_tiled, ffits, fsolve = self._pallas_ops()
 
                 interp = jax.default_backend() == "cpu"
                 if (
                     self.krylov_unroll is not None
                     and not self.krylov_scanned
-                    and fused_solve_fits(b32.shape, b32.dtype)
+                    and ffits(b32.shape, b32.dtype)
                 ):
-                    return bicgstab_solve_pallas(
+                    return fsolve(
                         st32, b32, inv32, mask32,
                         tol=MIXED_INNER_TOL, iters=self.krylov_unroll,
                         interpret=interp,
                     )
-                if apply_fits(b32.shape, b32.dtype):
-                    matvec32 = lambda w: stencil5_apply_pallas(st32, w, interpret=interp)  # noqa: E731
-                else:
+                if afits(b32.shape, b32.dtype):
+                    matvec32 = lambda w: apply_k(st32, w, interpret=interp)  # noqa: E731
+                elif apply_tiled is not None:
                     # beyond the single-block budget: row-tiled grid kernel
-                    matvec32 = lambda w: stencil5_apply_tiled(st32, w, interpret=interp)  # noqa: E731
+                    matvec32 = lambda w: apply_tiled(st32, w, interpret=interp)  # noqa: E731
+                else:
+                    matvec32 = lambda w: st32.apply(ops, w)  # noqa: E731
             else:
                 matvec32 = lambda w: st32.apply(ops, w)  # noqa: E731
             dot32 = lambda u, v: ops.asum(u * v)  # noqa: E731
@@ -584,14 +596,8 @@ class PCTrapezoidalBase:
                 return solve_assembled_mixed(st, rhs, inv_diag, noise_sq)
             if self.linear_solver == "direct":
                 return solve_direct(st, rhs, noise_sq)
-            if self.stencil_backend == "pallas" and ops is LOCAL_OPS:
-                from na_dd_tpu.ops.pallas_kernels import (
-                    apply_fits,
-                    bicgstab_solve_pallas,
-                    fused_solve_fits,
-                    stencil5_apply_pallas,
-                    stencil5_apply_tiled,
-                )
+            if self.stencil_backend == "pallas" and ops is self._local_ops:
+                afits, apply_k, apply_tiled, ffits, fsolve = self._pallas_ops()
 
                 # on CPU the kernels run in interpret mode, so the pallas
                 # code path is exercisable (and tested) off-TPU (the axon
@@ -603,11 +609,11 @@ class PCTrapezoidalBase:
                     # grids too big for the single-block fused solve fall
                     # back to the apply-only kernel below (still VMEM-fused
                     # per apply)
-                    and fused_solve_fits(rhs.shape, rhs.dtype)
+                    and ffits(rhs.shape, rhs.dtype)
                 ):
                     # whole solve in ONE VMEM-resident kernel (same masked
                     # early-exit update as bicgstab_unrolled)
-                    delta, info = bicgstab_solve_pallas(
+                    delta, info = fsolve(
                         st,
                         rhs * mask,
                         inv_diag,
@@ -617,12 +623,14 @@ class PCTrapezoidalBase:
                         interpret=interp,
                     )
                     return delta * mask, info
-                if apply_fits(rhs.shape, rhs.dtype):
-                    matvec = lambda w: stencil5_apply_pallas(st, w, interpret=interp)  # noqa: E731
-                else:
+                if afits(rhs.shape, rhs.dtype):
+                    matvec = lambda w: apply_k(st, w, interpret=interp)  # noqa: E731
+                elif apply_tiled is not None:
                     # beyond the single-block VMEM budget: row-tiled grid
                     # kernel (N >= ~1024 f32 stays on the Pallas path)
-                    matvec = lambda w: stencil5_apply_tiled(st, w, interpret=interp)  # noqa: E731
+                    matvec = lambda w: apply_tiled(st, w, interpret=interp)  # noqa: E731
+                else:
+                    matvec = lambda w: st.apply(ops, w)  # noqa: E731
             else:
                 matvec = lambda w: st.apply(ops, w)  # noqa: E731
             return krylov(matvec, rhs, inv_diag)
@@ -648,6 +656,9 @@ class PCTrapezoidalBase:
             and self.precision == "full"
             and self.linear_solver == "krylov"
             and self.stencil_backend == "pallas"
+            # LOCAL_OPS (not self._local_ops): the triple kernel is 2-D-only
+            # (25 co-resident planes would cap 3-D cubes at N~30; the 3-D
+            # pallas path uses the per-solve fused kernel instead)
             and ops is LOCAL_OPS
             and self.krylov_unroll is not None
             and not self.krylov_scanned

@@ -80,10 +80,22 @@ def _make_bicgstab_kernel(iters: int, tol: float):
     return kernel
 
 
-def _bicgstab_inline(matvec, minv, b, tol: float, iters: int):
+def _bicgstab_inline(matvec, minv, b, tol: float, iters: int,
+                     *, loop: bool = False):
     """The masked-early-exit BiCGStab update as a value-level helper shared
     by the single-solve and fused triple-solve kernels (identical algebra to
-    :func:`na_dd_tpu.ops.linsolve.bicgstab_unrolled` with x0 = 0)."""
+    :func:`na_dd_tpu.ops.linsolve.bicgstab_unrolled` with x0 = 0).
+
+    ``loop=True`` runs the iteration as an in-kernel ``lax.fori_loop`` over
+    the SAME body (identical per-iteration algebra, so identical values):
+    Mosaic's stack allocator only partially reuses temporaries across a
+    Python-unrolled iteration chain, which blew the scoped-VMEM limit for
+    3-D volume operands on real hardware (measured 2026-08-18: 63.96 MB
+    stack vs the 14 MB limit at N=32, iters=48 — HTTP 500 from the compile
+    helper); a fori_loop bounds the stack to one iteration's temporaries
+    regardless of the unroll budget.  The 2-D kernels keep the unrolled
+    form (hardware-validated bit-identical to ``bicgstab_unrolled``; plane
+    temporaries are small enough that reuse never mattered)."""
     dt_ = b.dtype
     dot = lambda u, v: jnp.sum(u * v)
     eps_div = jnp.asarray(1e-300, dtype=dt_)
@@ -114,7 +126,8 @@ def _bicgstab_inline(matvec, minv, b, tol: float, iters: int):
     i32_zero = jnp.asarray(0, jnp.int32)
     i32_one = jnp.asarray(1, jnp.int32)
 
-    for _ in range(iters):
+    def body(carry):
+        x, r, p, v, rho, alpha, omega, done, iters_used = carry
         keep = lambda old, new: jnp.where(done, old, new)  # noqa: E731
         rho1 = dot(rhat, r)
         ratio, ok1 = safe_div(rho1, rho)
@@ -145,6 +158,23 @@ def _bicgstab_inline(matvec, minv, b, tol: float, iters: int):
         omega = keep(omega, omega_new)
         iters_used = iters_used + jnp.where(done, i32_zero, i32_one)
         done = done | s_conv | breakdown | (dot(r, r) <= tol_sq)
+        return (x, r, p, v, rho, alpha, omega, done, iters_used)
+
+    carry = (x, r, p, v, rho, alpha, omega, done, iters_used)
+    if loop:
+        # i32 bounds: Python-int bounds would make the loop counter i64
+        # under x64 (Mosaic has no 64-bit; tests/test_pallas_kernels.py
+        # asserts the traces stay 64-bit-clean)
+        carry = jax.lax.fori_loop(
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(iters, jnp.int32),
+            lambda _i, c: body(c),
+            carry,
+        )
+    else:
+        for _ in range(iters):
+            carry = body(carry)
+    x, r, iters_used = carry[0], carry[1], carry[8]
 
     return x, iters_used, r, tol_sq
 
@@ -586,12 +616,12 @@ def stencil7_apply_pallas(stencil, u, *, interpret: bool = False):
     """out = Stencil7.apply(LOCAL_OPS3, u) as one fused VMEM-resident kernel
     (3-D twin of :func:`stencil5_apply_pallas`).
 
-    STATUS: exercised in interpret mode (tests/test_three_d_model.py) and
-    numerically identical to the jnp path there; REAL-Mosaic lowering
-    validation is queued on hardware (studies/tpu_queue_r3d.sh) — the 2-D
-    row-tiled kernel taught us interpret mode cannot see lowering
-    constraints, so the 3-D integrators do NOT route through this kernel
-    yet (stencil_backend='pallas' still raises in 3-D).
+    STATUS: interpret-mode exact vs the jnp path (tests/test_three_d_model.py,
+    tests/test_pallas_kernels.py) and routed by the 3-D integrators'
+    ``_pallas_ops`` hook (stencil_backend='pallas'); real-Mosaic lowering
+    validation + timing queued on hardware (studies/tpu_queue_r3d.sh) — the
+    2-D row-tiled kernel taught us interpret mode cannot see lowering
+    constraints.
     """
     assert apply3_fits(u.shape, u.dtype), (
         "stencil7_apply_pallas is a single-block kernel and this operand "
@@ -643,8 +673,11 @@ def _make_bicgstab3_kernel(iters: int, tol: float):
                 + czm * u_zm + czp * u_zp
             )
 
+        # loop=True: fori_loop bounds the Mosaic stack to ONE iteration's
+        # volume temporaries (the unrolled chain measured 63.96 MB stack at
+        # N=32, iters=48 on hardware — see _bicgstab_inline)
         x, iters_used, _r, _tol_sq = _bicgstab_inline(
-            matvec, lambda r: r * invd_ref[:], b_ref[:], tol, iters
+            matvec, lambda r: r * invd_ref[:], b_ref[:], tol, iters, loop=True
         )
         x_ref[:] = x * mask_ref[:]
         iters_ref[0] = iters_used
@@ -653,9 +686,17 @@ def _make_bicgstab3_kernel(iters: int, tol: float):
 
 
 def fused_solve3_fits(shape, dtype) -> bool:
-    """Whether :func:`bicgstab_solve3_pallas`'s single-block footprint
-    (~18 live volumes, tile-padded) fits VMEM — about N ≤ 38 for f32 cubes."""
-    return _footprint_fits3(shape, dtype, 18)
+    """Whether :func:`bicgstab_solve3_pallas`'s single-block footprint fits
+    Mosaic's scoped VMEM.  HARDWARE-CALIBRATED, not counted
+    (studies/stencil7_fused_probe.py, 2026-08-18): N=30 f32 cubes compile
+    and run exact (and 20% faster than the jnp unrolled solve); N=32 OOMs
+    the scoped-VMEM stack even with the fori_loop body (84.14 MB stack vs
+    the backend's 40.59 MB limit — Mosaic keeps far more than the ~20
+    counted live volumes on its stack).  The factor 28 puts the boundary
+    between the 31³ and 33³ tile-padded footprints: admits ≤ 524,288
+    B/volume (N ≤ 31 f32 cubes), rejects 33³'s 675,840 (its sublane pad
+    jumps to 40)."""
+    return _footprint_fits3(shape, dtype, 28)
 
 
 def bicgstab_solve3_pallas(
@@ -664,12 +705,20 @@ def bicgstab_solve3_pallas(
     """Whole Jacobi-BiCGStab solve on a Stencil7 system as ONE VMEM-resident
     kernel — the 3-D twin of :func:`bicgstab_solve_pallas`, sharing the
     identical :func:`_bicgstab_inline` update (the solver algebra is
-    shape-agnostic; only the in-kernel matvec differs).
+    shape-agnostic; only the in-kernel matvec differs) run as an in-kernel
+    ``fori_loop`` (``loop=True``): the unrolled form's per-iteration volume
+    temporaries are only partially reused by Mosaic's stack allocator and
+    blew the scoped-VMEM limit on real hardware (63.96 MB stack at N=32,
+    iters=48, measured 2026-08-18).
 
-    STATUS: interpret-mode exact vs ``bicgstab_unrolled``
-    (tests/test_three_d_model.py); real-Mosaic lowering validation queued
-    on hardware (studies/tpu_queue_r3d.sh) before the 3-D integrators route
-    through it.
+    STATUS: interpret-mode vs ``bicgstab_unrolled`` to 1 ulp with identical
+    iteration counts (tests/test_three_d_model.py; the fori_loop compiles
+    the body once, so FMA contraction can differ from the unrolled chain by
+    1 ulp), routed by the 3-D integrators' ``_pallas_ops`` hook
+    (stencil_backend='pallas'), and hardware-validated 2026-08-18
+    (studies/stencil7_fused_probe.py: N=16/24/28/30 f32 cubes exact vs the
+    jnp unrolled solve with identical iteration counts, ~20% faster at
+    N=28/30; N=32 OOMs Mosaic's scoped VMEM — see fused_solve3_fits).
     """
     assert fused_solve3_fits(b.shape, b.dtype), (
         "bicgstab_solve3_pallas is a single-block kernel and this operand "
@@ -710,3 +759,133 @@ def bicgstab_solve3_pallas(
         "resnorm_sq": rsq,
         "converged": rsq <= tol_sq,
     }
+
+
+def _pick_slab_tile3(shape, dtype, live_volumes: int = 9) -> int | None:
+    """Largest power-of-two x-slab thickness whose working set fits VMEM
+    (DOUBLE-buffered, tile-padded lane/sublane dims — the 2-D lessons
+    applied): ``live_volumes`` slab-blocks of ``tile`` x-rows plus the two
+    single-row halo slabs, all at (ceil8(B), ceil128(C)) padded footprint.
+    None when even tile=1 does not fit (callers fall back to jnp)."""
+    import numpy as np
+
+    _a, b, c = shape
+    b_pad = -(-b // 8) * 8
+    c_pad = -(-c // 128) * 128
+    slab = b_pad * c_pad * np.dtype(dtype).itemsize
+    tile = 64
+    while tile > 1 and 2 * (live_volumes * tile + 2) * slab > _VMEM_LIMIT_BYTES:
+        tile //= 2
+    if 2 * (live_volumes * tile + 2) * slab > _VMEM_LIMIT_BYTES:
+        return None
+    return tile
+
+
+def apply3_tiled_fits(shape, dtype) -> bool:
+    """Whether :func:`stencil7_apply_tiled` has a feasible slab tile — about
+    N ≤ ~370 for f32 cubes (tile=1 needs 11 double-buffered padded slabs)."""
+    return _pick_slab_tile3(shape, dtype) is not None
+
+
+def _make_stencil7_tiled_kernel(A: int, T: int):
+    """x-slab-tiled Stencil7 kernel body.  Each program owns x-slabs
+    [i·T, (i+1)·T); the x-shift halos arrive as two SINGLE-slab (1, B, C)
+    blocks fetched by index maps.  Unlike the 2-D row-tiled kernel, the
+    tiled axis here is a LEADING dim (the last two dims (B, C) stay whole as
+    the (sublane, lane) layout), so Mosaic's 8-sublane block rule does not
+    bite and one-slab halo blocks are legal.  y/z shifts are purely
+    in-block.  Ragged last slab: u's out-of-range x-rows are zero-masked on
+    load (Mosaic block padding is undefined data — same guard as the 2-D
+    kernel)."""
+
+    def kernel(u_ref, up_ref, dn_ref, c0_ref, cxm_ref, cxp_ref, cym_ref,
+               cyp_ref, czm_ref, czp_ref, out_ref):
+        i = pl.program_id(0)
+        x0 = i * T
+        u = u_ref[:]
+        # dtype-matched zero (a weak 0.0 literal becomes f64 under x64)
+        zero = jnp.zeros((), u.dtype)
+        x_ids = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0) + x0
+        u = jnp.where(x_ids < A, u, zero)
+        # halo slabs (zero inflow outside the grid = shift-op semantics)
+        up = jnp.where(i > 0, up_ref[:], zero)
+        dn = jnp.where(x0 + T <= A - 1, dn_ref[:], zero)
+        u_xm = jnp.concatenate([up, u[:-1]], axis=0)
+        u_xp = jnp.concatenate([u[1:], dn], axis=0)
+        zy = jnp.zeros_like(u[:, :1, :])
+        u_ym = jnp.concatenate([zy, u[:, :-1, :]], axis=1)
+        u_yp = jnp.concatenate([u[:, 1:, :], zy], axis=1)
+        zz = jnp.zeros_like(u[:, :, :1])
+        u_zm = jnp.concatenate([zz, u[:, :, :-1]], axis=2)
+        u_zp = jnp.concatenate([u[:, :, 1:], zz], axis=2)
+        out_ref[:] = (
+            c0_ref[:] * u
+            + cxm_ref[:] * u_xm
+            + cxp_ref[:] * u_xp
+            + cym_ref[:] * u_ym
+            + cyp_ref[:] * u_yp
+            + czm_ref[:] * u_zm
+            + czp_ref[:] * u_zp
+        )
+
+    return kernel
+
+
+def stencil7_apply_tiled(stencil, u, *, slab_tile: int | None = None,
+                         interpret: bool = False):
+    """x-slab-tiled :func:`stencil7_apply_pallas` for cubes beyond the
+    single-block VMEM budget (N > ~55 f32; feasible to ~N=370).
+
+    Grid over x-slabs of ``slab_tile`` rows; per program the seven
+    coefficient slabs + the operand slab live in VMEM while the two x-halo
+    slabs arrive as (1, B, C) blocks from the neighbouring programs'
+    territory.  Bit-identical to the single-block kernel /
+    ``Stencil7.apply(LOCAL_OPS3, ·)`` (same FMA order), any problem size
+    with a feasible tile (callers check :func:`apply3_tiled_fits`).
+
+    STATUS: interpret-exact (tests/test_pallas_kernels.py); real-Mosaic
+    lowering validation queued on hardware (studies/tpu_queue_r3d.sh) — the
+    2-D row-tiled kernel taught us interpret mode cannot see lowering
+    constraints.
+    """
+    A, B, C = u.shape
+    T = slab_tile or _pick_slab_tile3(u.shape, u.dtype)
+    assert T is not None and T >= 1, (
+        "no feasible slab tile for this operand — callers must check "
+        "apply3_tiled_fits() and fall back to the jnp path"
+    )
+    grid = (-(-A // T),)
+
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        )
+        space = pltpu.VMEM
+    else:
+        space = pl.ANY if not interpret else None
+
+    def slab_spec(slabs, index_map):
+        if space is None:
+            return pl.BlockSpec((slabs, B, C), index_map)
+        return pl.BlockSpec((slabs, B, C), index_map, memory_space=space)
+
+    # halo block indices are in units of (1, B, C) blocks = absolute x rows;
+    # clamped at the edges (the kernel masks the halo to zero there, so the
+    # clamped block's contents never matter)
+    tile_spec = slab_spec(T, lambda i: (i, 0, 0))
+    up_spec = slab_spec(1, lambda i: (jnp.maximum(i * T - 1, 0), 0, 0))
+    dn_spec = slab_spec(1, lambda i: (jnp.minimum((i + 1) * T, A - 1), 0, 0))
+
+    return pl.pallas_call(
+        _make_stencil7_tiled_kernel(A, T),
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
+        in_specs=[tile_spec, up_spec, dn_spec] + [tile_spec] * 7,
+        out_specs=tile_spec,
+        interpret=interpret,
+        **kwargs,
+    )(
+        u, u, u, stencil.c0, stencil.cxm, stencil.cxp, stencil.cym,
+        stencil.cyp, stencil.czm, stencil.czp,
+    )

@@ -10,18 +10,25 @@ Newton cs correctors, the Gauss–Seidel Newton sweep over the triangular
 (T, cl, cd) block, the Krylov drivers (while_loop / unrolled / scanned
 BiCGStab) and the mixed-precision iterative-refinement wrapper were all
 written shape-agnostically (pointwise algebra + ``ops`` reductions +
-stencil ``.apply``).  The 3-D subclasses override exactly three hooks:
+stencil ``.apply``).  The 3-D subclasses override exactly four hooks:
 
 * :meth:`_newton_planes` — builds the interior Newton operator from a
   :class:`~na_dd_tpu.three_d.diffusion.Stencil7` (7 planes instead of 5);
 * :meth:`_probe_stencil` — the generic color-probing plane extractor
   (7-color (i+2j+3k) mod 7 in 3-D instead of 5-color (i+2j) mod 5);
+* :meth:`_pallas_ops` — the Stencil7 Mosaic kernel entry points for
+  ``stencil_backend="pallas"``;
 * :attr:`_local_ops` — the eager ``.step()`` single-device ops provider.
 
-Restrictions vs the 2-D integrators (validated at construction):
-``stencil_backend="pallas"`` and ``linear_solver="direct"`` are 2-D-only
-(Mosaic kernels and the block-cyclic-reduction factorization address
-(N+1, M+1) layouts).
+Restriction vs the 2-D integrators (validated at construction):
+``linear_solver="direct"`` is 2-D-only (the block-cyclic-reduction
+factorization addresses (N+1, M+1) row-blocks).
+
+``stencil_backend="pallas"`` routes through the Stencil7 kernels
+(:func:`na_dd_tpu.ops.pallas_kernels.bicgstab_solve3_pallas` /
+``stencil7_apply_pallas``) via the :meth:`_pallas_ops` hook; cubes beyond
+the single-block VMEM budget fall back to the jnp apply (no tiled 3-D
+kernel yet).
 
 ``precision="mixed"``, ``krylov_scanned``, ``stencil_source`` ("analytic" or
 "probe"), ``coupling_source`` ("jvp" or "analytic"), ``assemble_stencil=
@@ -57,16 +64,12 @@ class _Newton3Mixin:
 
     def __init__(self, semi_discrete_field, **kwargs):
         super().__init__(semi_discrete_field, **kwargs)
-        if self.stencil_backend != "jnp":
-            raise ValueError(
-                "3-D integrators support stencil_backend='jnp' only (the "
-                "Pallas kernels address 2-D (N+1, M+1) layouts)"
-            )
         if self.linear_solver != "krylov":
             raise ValueError(
                 "3-D integrators support linear_solver='krylov' only (the "
                 "BCR direct factorization addresses 2-D row-blocks)"
             )
+
     def _newton_planes(self, g, ops, L, dt):
         return newton_planes3(g, ops, L, dt)
 
@@ -74,6 +77,30 @@ class _Newton3Mixin:
         # 7-color probing — the generic path that cross-validates the
         # analytic Stencil7 planes (stencil_source="probe")
         return probe_stencil3(matvec, g, vmapped=self.probe_vmapped)
+
+    def _pallas_ops(self):
+        """stencil_backend='pallas' in 3-D: the Stencil7 kernels — fused
+        whole-BiCGStab-solve to ~N<=31 f32 cubes (hardware-calibrated:
+        N=30 compiles and beats jnp by 20%, N=32 OOMs Mosaic's scoped-VMEM
+        stack — fused_solve3_fits), single-block apply to ~N<=55, then the
+        x-slab-tiled apply to ~N<=370; beyond the feasible slab tile the
+        matvec falls back to the jnp apply.  The 2-D fused-triple kernel
+        never engages in 3-D (its gate tests the 2-D LOCAL_OPS
+        identity)."""
+        from na_dd_tpu.ops import pallas_kernels as pk
+
+        def apply_tiled(st, w, *, interpret=False):
+            if not pk.apply3_tiled_fits(w.shape, w.dtype):
+                return st.apply(LOCAL_OPS3, w)
+            return pk.stencil7_apply_tiled(st, w, interpret=interpret)
+
+        return (
+            pk.apply3_fits,
+            pk.stencil7_apply_pallas,
+            apply_tiled,
+            pk.fused_solve3_fits,
+            pk.bicgstab_solve3_pallas,
+        )
 
 
 class PCTrapezoidalCsTriple3(_Newton3Mixin, PCTrapezoidalCsTriple):

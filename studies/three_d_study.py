@@ -72,6 +72,13 @@ def main():
         # risk) and compiles are cheap anyway; keep it TPU-only here.
         config.enable_persistent_compilation_cache()
 
+    # Forces backend/session setup NOW and proves it in the log: with the
+    # axon tunnel, a client that hangs here (no output past the xla_bridge
+    # warning, threads in sk_wait_data) is waiting on a stale session — kill
+    # it and relaunch after ~5 min idle (CLAUDE.md); a client that prints
+    # devices and THEN goes quiet is compiling.
+    print("devices:", jax.devices(), flush=True)
+
     from na_dd_tpu.models import Model02, default_model_consts
     from na_dd_tpu.three_d import MMSCaseExpSin3, make_setup3
     from na_dd_tpu.three_d.harness import build_runner3

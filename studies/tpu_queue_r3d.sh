@@ -58,7 +58,7 @@ from na_dd_tpu.three_d import (
 def _t(f):
     t0 = time.perf_counter(); f(); return time.perf_counter() - t0
 out = {}
-for N in (32, 48):  # apply fits to N<=55 (tile-padded); fused to N<=38
+for N in (32, 48):  # apply fits to N<=55 (tile-padded); fused to N<=31 (hw-calibrated)
     g, case, field, _ = make_setup3(
         MMSCaseExpSin3, N=N, model=Model02(default_model_consts))
     s = state_from_mms_when3(mms_case=case, t=0.1, grid=g)
@@ -105,4 +105,56 @@ for N in (32, 48):  # apply fits to N<=55 (tile-padded); fused to N<=38
     # dump incrementally: a failure at a later N keeps earlier datapoints
     json.dump(out, open('studies/results/stencil7_pallas_tpu.json', 'w'), indent=1)
 json.dump(out, open('studies/results/stencil7_pallas_tpu.json', 'w'), indent=1)
+PYEOF
+
+# 6) 3-D integrator-level pallas path (routed via _pallas_ops this round):
+#    f32 ladder to N=32 with the fused Stencil7 solve kernel engaged
+#    (fused fits to N<=31, hw-calibrated), vs item 1's jnp-f32 timings
+NA_DD_TPU_X64=0 NA_DD_TPU_STENCIL=pallas timeout 3600 python studies/three_d_study.py \
+  --levels 4 --n0 4 --out studies/results/three_d_study_tpu_f32_pallas.json
+
+# 7) x-slab-tiled 3-D apply kernel: REAL Mosaic lowering validation + timing
+#    at cubes beyond the single-block budget (leading-dim tiling has no
+#    8-sublane rule, but only hardware can confirm the lowering)
+NA_DD_TPU_X64=0 timeout 1800 python - <<'PYEOF'
+import time, json
+import numpy as np
+import jax, jax.numpy as jnp
+from na_dd_tpu import config
+config.setup_x64()
+config.enable_persistent_compilation_cache()
+from na_dd_tpu.ops.pallas_kernels import (
+    _pick_slab_tile3, apply3_fits, apply3_tiled_fits, stencil7_apply_tiled,
+)
+from na_dd_tpu.three_d.diffusion import Stencil7
+from na_dd_tpu.three_d.shifts import LOCAL_OPS3
+
+def _t(f):
+    t0 = time.perf_counter(); f(); return time.perf_counter() - t0
+
+out = {}
+rng = np.random.RandomState(3)
+for N in (64, 96, 128):
+    shape = (N + 1,) * 3
+    assert not apply3_fits(shape, jnp.float32)
+    if not apply3_tiled_fits(shape, jnp.float32):
+        print(N, 'no feasible slab tile; skipping', flush=True)
+        continue
+    mk = lambda: jnp.asarray(rng.rand(*shape), dtype=jnp.float32)
+    st = Stencil7(c0=mk(), cxm=mk(), cxp=mk(), cym=mk(), cyp=mk(),
+                  czm=mk(), czp=mk())
+    u = mk()
+    k = jax.jit(lambda st, u: stencil7_apply_tiled(st, u))
+    j = jax.jit(lambda st, u: st.apply(LOCAL_OPS3, u))
+    got = jax.block_until_ready(k(st, u))
+    want = jax.block_until_ready(j(st, u))
+    dev = float(jnp.max(jnp.abs(got - want)))
+    tk = min(_t(lambda: jax.block_until_ready(k(st, u))) for _ in range(20))
+    tj = min(_t(lambda: jax.block_until_ready(j(st, u))) for _ in range(20))
+    out[N] = dict(slab_tile=_pick_slab_tile3(shape, jnp.float32),
+                  max_abs_dev=dev, pallas_s=tk, jnp_s=tj)
+    print(N, out[N], flush=True)
+    assert dev < 1e-5 * float(jnp.max(jnp.abs(want))), dev
+    json.dump(out, open('studies/results/stencil7_tiled_tpu.json', 'w'), indent=1)
+json.dump(out, open('studies/results/stencil7_tiled_tpu.json', 'w'), indent=1)
 PYEOF

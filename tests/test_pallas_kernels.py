@@ -259,7 +259,93 @@ def test_kernel_jaxprs_are_64bit_clean_under_x64():
             )
         )(st, u, invd, mask),
     }
+
+    # 3-D Stencil7 entry points (routed by the 3-D integrators' _pallas_ops
+    # hook, incl. inside the mixed+pallas mode that traces under x64)
+    from na_dd_tpu.ops.pallas_kernels import (
+        bicgstab_solve3_pallas,
+        stencil7_apply_pallas,
+    )
+    from na_dd_tpu.three_d.diffusion import Stencil7
+
+    shape3 = (9, 9, 9)
+    st3 = Stencil7(
+        *(jnp.asarray(rng.rand(*shape3), dtype=jnp.float32) for _ in range(7))
+    )
+    u3 = jnp.asarray(rng.rand(*shape3), dtype=jnp.float32)
+    invd3 = jnp.asarray(rng.rand(*shape3), dtype=jnp.float32)
+    mask3 = jnp.ones(shape3, jnp.float32)
+    traces["apply3"] = jax.make_jaxpr(
+        lambda st, u: stencil7_apply_pallas(st, u, interpret=True)
+    )(st3, u3)
+    traces["solve3"] = jax.make_jaxpr(
+        lambda st, b, d, m: bicgstab_solve3_pallas(
+            st, b, d, m, tol=1e-5, iters=3, interpret=True
+        )
+    )(st3, u3, invd3, mask3)
     for name, jaxpr in traces.items():
         text = str(jaxpr)
         for bad in ("f64", "i64", "u64"):
             assert bad not in text, f"{name} kernel trace contains {bad} under x64"
+
+
+def _random_stencil7(shape, rng, dtype):
+    from na_dd_tpu.three_d.diffusion import Stencil7
+
+    mk = lambda: jnp.asarray(rng.rand(*shape), dtype=dtype)
+    return Stencil7(c0=mk(), cxm=mk(), cxp=mk(), cym=mk(), cyp=mk(),
+                    czm=mk(), czp=mk())
+
+
+def test_stencil7_tiled_matches_jnp_ragged_and_exact():
+    """x-slab-tiled 3-D grid kernel == Stencil7.apply for ragged (A % T != 0)
+    and tile-exact slab counts, at several tile sizes including T=1
+    (every program sees both halo paths)."""
+    from na_dd_tpu.ops.pallas_kernels import stencil7_apply_tiled
+    from na_dd_tpu.three_d.shifts import LOCAL_OPS3
+
+    rng = np.random.RandomState(17)
+    for shape, tiles in [((9, 9, 9), [1, 2, 4]), ((12, 7, 5), [3, 4, 12]),
+                         ((5, 6, 129), [2])]:
+        st = _random_stencil7(shape, rng, jnp.float64)
+        u = jnp.asarray(rng.rand(*shape))
+        ref = np.asarray(st.apply(LOCAL_OPS3, u))
+        for T in tiles:
+            out = stencil7_apply_tiled(st, u, slab_tile=T, interpret=True)
+            np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-14,
+                                       err_msg=f"shape={shape} T={T}")
+
+
+def test_stencil7_tiled_auto_tile_pick_and_fallback_boundary():
+    """_pick_slab_tile3 respects the double-buffered tile-padded VMEM budget;
+    apply3_tiled_fits covers the integrator's fallback chain boundaries
+    (single-block -> tiled -> jnp)."""
+    from na_dd_tpu.ops.pallas_kernels import (
+        _VMEM_LIMIT_BYTES,
+        _pick_slab_tile3,
+        apply3_fits,
+        apply3_tiled_fits,
+        stencil7_apply_tiled,
+    )
+
+    # N=64 cube exceeds the single-block budget -> tiled engages
+    big = (65, 65, 65)
+    assert not apply3_fits(big, jnp.float32)
+    T = _pick_slab_tile3(big, jnp.float32)
+    b_pad, c_pad = 72, 128
+    assert T >= 1 and 2 * (9 * T + 2) * b_pad * c_pad * 4 <= _VMEM_LIMIT_BYTES
+    assert apply3_tiled_fits(big, jnp.float32)
+    # far beyond any feasible tile -> the integrator hook falls back to jnp
+    assert not apply3_tiled_fits((385, 385, 385), jnp.float32)
+
+    # numerically exact at a (cheap) ragged shape with the auto tile
+    rng = np.random.RandomState(18)
+    shape = (11, 9, 13)
+    st = _random_stencil7(shape, rng, jnp.float32)
+    u = jnp.asarray(rng.rand(*shape), dtype=jnp.float32)
+    from na_dd_tpu.three_d.shifts import LOCAL_OPS3
+
+    out = stencil7_apply_tiled(st, u, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(st.apply(LOCAL_OPS3, u)), rtol=1e-6
+    )

@@ -282,13 +282,58 @@ def test_pc3_mixed_precision_matches_full(model):
     assert abs(e_mixed - e_full) <= 1e-8 * max(e_full, 1e-30), (e_full, e_mixed)
 
 
+def test_pc3_pallas_backend_matches_jnp(model):
+    """stencil_backend='pallas' in 3-D (interpret mode on CPU): the fused
+    whole-BiCGStab-solve Stencil7 kernel inside the PC step must reproduce
+    the jnp backend essentially exactly (the kernel shares bicgstab_unrolled's
+    masked early-exit update), and the scanned-Krylov variant must engage the
+    apply-only kernel path (the fused solve requires the unrolled shape)."""
+    common = dict(N=5, model=model, Tf=0.01, dt=2.5e-3)
+    e_jnp = mms_error3(
+        MMSCaseExpSin3, **common, integrator_params=dict(krylov_unroll=24)
+    )
+    e_pal = mms_error3(
+        MMSCaseExpSin3,
+        **common,
+        integrator_params=dict(krylov_unroll=24, stencil_backend="pallas"),
+    )
+    assert abs(e_pal - e_jnp) <= 1e-10 * abs(e_jnp), (e_jnp, e_pal)
+    # scanned Krylov: fused-solve gate is off -> stencil7 apply kernel matvec
+    e_pal_scan = mms_error3(
+        MMSCaseExpSin3,
+        **common,
+        integrator_params=dict(
+            krylov_unroll=24, krylov_scanned=True, stencil_backend="pallas"
+        ),
+    )
+    assert abs(e_pal_scan - e_jnp) <= 1e-9 * abs(e_jnp), (e_jnp, e_pal_scan)
+
+
+def test_pc3_mixed_with_pallas_matches_full(model):
+    """precision='mixed' + stencil_backend='pallas' in 3-D: the f32-only
+    Mosaic kernels run the inner solves of an f64-accurate refinement run
+    (2-D twin: tests/test_mixed_precision.py::test_mixed_with_pallas_kernels
+    _matches_f64)."""
+    common = dict(N=5, model=model, Tf=0.01, dt=2.5e-3)
+    e_full = mms_error3(
+        MMSCaseExpSin3, **common, integrator_params=dict(krylov_unroll=24)
+    )
+    e_mp = mms_error3(
+        MMSCaseExpSin3,
+        **common,
+        integrator_params=dict(
+            krylov_unroll=24, precision="mixed", stencil_backend="pallas"
+        ),
+    )
+    assert abs(e_mp - e_full) <= 1e-8 * max(e_full, 1e-30), (e_full, e_mp)
+
+
 def test_integrator3_restrictions(model):
     """The 2-D-only features must be refused loudly at construction."""
     from na_dd_tpu.three_d import PCTrapezoidalRegHCsTriple3
 
     g, _case, field, _integ = make_setup3(MMSCaseExpSin3, N=4, model=model)
     for kw in (
-        dict(stencil_backend="pallas"),
         dict(linear_solver="direct"),
     ):
         with pytest.raises(ValueError):
