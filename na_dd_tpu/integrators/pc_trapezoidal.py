@@ -367,6 +367,15 @@ class PCTrapezoidalBase:
             pk.bicgstab_solve_pallas,
         )
 
+    def _direct_solve_ops(self):
+        """The location-transparent exact direct solver for
+        ``linear_solver="direct"`` — the fourth dimension-specific hook.
+        Returns a callable ``(ops, stencil, b, mask) -> x`` (BCR over dense
+        row-blocks in 2-D, x-plane-blocks in 3-D)."""
+        from na_dd_tpu.ops.direct_solve import stencil5_solve_direct_ops
+
+        return stencil5_solve_direct_ops
+
     # ------------------------------------------------------------------
     # cp predictor / corrector (shared across variants;
     # reference src/prob1base.py:2953-2996)
@@ -470,9 +479,7 @@ class PCTrapezoidalBase:
             if self.linear_solver == "direct":
                 # f32 BCR inner solve: each refinement pass contracts the f64
                 # residual by ~f32 eps, independent of stiffness (no budget).
-                from na_dd_tpu.ops.direct_solve import stencil5_solve_direct_ops
-
-                x32 = stencil5_solve_direct_ops(ops, st32, b32, mask32)
+                x32 = self._direct_solve_ops()(ops, st32, b32, mask32)
                 return x32, {
                     "iters": jnp.asarray(1, dtype=jnp.int32),
                     "resnorm_sq": jnp.asarray(0.0, dtype=b32.dtype),
@@ -562,10 +569,8 @@ class PCTrapezoidalBase:
             """Exact BCR direct solve (linear_solver='direct'); see
             ops/direct_solve.py for the TPU rationale vs the reference's
             SuperLU spsolve (src/prob1base.py:2109-2130)."""
-            from na_dd_tpu.ops.direct_solve import stencil5_solve_direct_ops
-
             b = rhs * mask
-            x = stencil5_solve_direct_ops(ops, st, b, mask)
+            x = self._direct_solve_ops()(ops, st, b, mask)
             r = (b - st.apply(ops, x)) * mask
             rsq = dot(r, r)
             tol = self.krylov_tol

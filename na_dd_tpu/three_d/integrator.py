@@ -10,7 +10,7 @@ Newton cs correctors, the Gauss–Seidel Newton sweep over the triangular
 (T, cl, cd) block, the Krylov drivers (while_loop / unrolled / scanned
 BiCGStab) and the mixed-precision iterative-refinement wrapper were all
 written shape-agnostically (pointwise algebra + ``ops`` reductions +
-stencil ``.apply``).  The 3-D subclasses override exactly four hooks:
+stencil ``.apply``).  The 3-D subclasses override exactly five hooks:
 
 * :meth:`_newton_planes` — builds the interior Newton operator from a
   :class:`~na_dd_tpu.three_d.diffusion.Stencil7` (7 planes instead of 5);
@@ -18,17 +18,19 @@ stencil ``.apply``).  The 3-D subclasses override exactly four hooks:
   (7-color (i+2j+3k) mod 7 in 3-D instead of 5-color (i+2j) mod 5);
 * :meth:`_pallas_ops` — the Stencil7 Mosaic kernel entry points for
   ``stencil_backend="pallas"``;
+* :meth:`_direct_solve_ops` — the exact BCR direct solver for
+  ``linear_solver="direct"`` (dense x-plane blocks instead of row blocks;
+  :mod:`na_dd_tpu.three_d.direct_solve`);
 * :attr:`_local_ops` — the eager ``.step()`` single-device ops provider.
 
-Restriction vs the 2-D integrators (validated at construction):
-``linear_solver="direct"`` is 2-D-only (the block-cyclic-reduction
-factorization addresses (N+1, M+1) row-blocks).
+Every 2-D solver feature is available in 3-D (no construction-time
+restrictions remain):
 
 ``stencil_backend="pallas"`` routes through the Stencil7 kernels
 (:func:`na_dd_tpu.ops.pallas_kernels.bicgstab_solve3_pallas` /
-``stencil7_apply_pallas``) via the :meth:`_pallas_ops` hook; cubes beyond
-the single-block VMEM budget fall back to the jnp apply (no tiled 3-D
-kernel yet).
+``stencil7_apply_pallas`` / ``stencil7_apply_tiled``) via the
+:meth:`_pallas_ops` hook; cubes beyond the feasible tiled budget fall back
+to the jnp apply.
 
 ``precision="mixed"``, ``krylov_scanned``, ``stencil_source`` ("analytic" or
 "probe"), ``coupling_source`` ("jvp" or "analytic"), ``assemble_stencil=
@@ -57,18 +59,11 @@ class ForwardEulerIntegrator3(ForwardEulerIntegrator):
 
 
 class _Newton3Mixin:
-    """Swaps the Newton-operator plane builder for the Stencil7 one and
-    enforces the 2-D-only feature restrictions."""
+    """Swaps the dimension-specific hooks (Newton-plane builder, color
+    prober, Pallas kernels, direct solver, eager ops) for their Stencil7
+    counterparts."""
 
     _local_ops = LOCAL_OPS3
-
-    def __init__(self, semi_discrete_field, **kwargs):
-        super().__init__(semi_discrete_field, **kwargs)
-        if self.linear_solver != "krylov":
-            raise ValueError(
-                "3-D integrators support linear_solver='krylov' only (the "
-                "BCR direct factorization addresses 2-D row-blocks)"
-            )
 
     def _newton_planes(self, g, ops, L, dt):
         return newton_planes3(g, ops, L, dt)
@@ -101,6 +96,14 @@ class _Newton3Mixin:
             pk.fused_solve3_fits,
             pk.bicgstab_solve3_pallas,
         )
+
+    def _direct_solve_ops(self):
+        """linear_solver='direct' in 3-D: BCR over dense x-plane blocks
+        (na_dd_tpu.three_d.direct_solve) — the stiffness-independent exact
+        backstop, same contract as the 2-D row-block BCR."""
+        from na_dd_tpu.three_d.direct_solve import stencil7_solve_direct_ops
+
+        return stencil7_solve_direct_ops
 
 
 class PCTrapezoidalCsTriple3(_Newton3Mixin, PCTrapezoidalCsTriple):

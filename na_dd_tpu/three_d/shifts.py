@@ -53,9 +53,31 @@ class Ops3:
     def amax(self, u):  # pragma: no cover - interface
         raise NotImplementedError
 
+    # The assembled *direct* solve (three_d/direct_solve.py) addresses whole
+    # x-planes, so under sharding it gathers the global array, solves
+    # replicated, and slices its shard back out — same contract as the 2-D
+    # :meth:`na_dd_tpu.ops.shifts.Ops.gather_full`.  Abstract like the
+    # shifts: an Ops3 implementation that forgot these would otherwise
+    # inherit identity behaviour and make the sharded direct solve factorize
+    # each local shard against zero halos — a silently wrong solve.
+
+    def gather_full(self, u):  # pragma: no cover - interface
+        """Return the full global array (identity on a single device)."""
+        raise NotImplementedError
+
+    def local_slice(self, u_full):  # pragma: no cover - interface
+        """This device's shard of a full global array (identity locally)."""
+        raise NotImplementedError
+
 
 class LocalOps3(Ops3):
     """Single-device shifts: slice + concatenate, fully fusible by XLA."""
+
+    def gather_full(self, u):
+        return u
+
+    def local_slice(self, u_full):
+        return u_full
 
     def shift_xm(self, u):
         return jnp.concatenate([jnp.zeros_like(u[:1]), u[:-1]], axis=0)
@@ -157,3 +179,27 @@ class HaloOps3(Ops3):
         if axes:
             m = jax.lax.pmax(m, axes)
         return m
+
+    # -- whole-array access (direct-solve support; see Ops3 docstring) ------
+    def gather_full(self, u):
+        """All-gather the global array: x-planes over axis_x, y-planes over
+        axis_y (z is never sharded).  O(N·M·P) ICI bytes per call — used only
+        by the replicated direct solve, never on the matrix-free Krylov
+        path."""
+        if self.axis_x is not None and self.nx > 1:
+            u = jax.lax.all_gather(u, self.axis_x, axis=0, tiled=True)
+        if self.axis_y is not None and self.ny > 1:
+            u = jax.lax.all_gather(u, self.axis_y, axis=1, tiled=True)
+        return u
+
+    def local_slice(self, u_full):
+        rows = u_full.shape[0] // self.nx
+        cols = u_full.shape[1] // self.ny
+        u = u_full
+        if self.axis_x is not None and self.nx > 1:
+            i = jax.lax.axis_index(self.axis_x)
+            u = jax.lax.dynamic_slice_in_dim(u, i * rows, rows, axis=0)
+        if self.axis_y is not None and self.ny > 1:
+            j = jax.lax.axis_index(self.axis_y)
+            u = jax.lax.dynamic_slice_in_dim(u, j * cols, cols, axis=1)
+        return u

@@ -329,15 +329,21 @@ def test_pc3_mixed_with_pallas_matches_full(model):
 
 
 def test_integrator3_restrictions(model):
-    """The 2-D-only features must be refused loudly at construction."""
+    """No construction-time feature restrictions remain in 3-D (pallas and
+    direct landed in round 3); the argument validation still bites."""
     from na_dd_tpu.three_d import PCTrapezoidalRegHCsTriple3
 
     g, _case, field, _integ = make_setup3(MMSCaseExpSin3, N=4, model=model)
     for kw in (
         dict(linear_solver="direct"),
+        dict(stencil_backend="pallas"),
     ):
-        with pytest.raises(ValueError):
-            PCTrapezoidalRegHCsTriple3(field, regularization_factor=ETA, **kw)
+        PCTrapezoidalRegHCsTriple3(field, regularization_factor=ETA, **kw)
+    # the base-class argument validation is inherited
+    with pytest.raises(ValueError):
+        PCTrapezoidalRegHCsTriple3(
+            field, regularization_factor=ETA, linear_solver="nope"
+        )
     # make_setup3 takes exactly one of N / grid
     with pytest.raises(ValueError):
         make_setup3(MMSCaseExpSin3, model=model)
