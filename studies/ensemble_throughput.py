@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--batches", default="1,8,32,128",
                     help="comma-separated ensemble sizes")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="shard the ensemble batch axis over this many "
+                         "devices (data-parallel serving; 0 = single device)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -54,6 +57,8 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        if args.dp:
+            jax.config.update("jax_num_cpu_devices", max(args.dp, 1))
     config.setup_x64()
     if not args.cpu:
         config.enable_persistent_compilation_cache()
@@ -109,6 +114,23 @@ def main():
         s_final, _ = jax.lax.scan(body, s0, ks)
         return s_final
 
+    # Data-parallel serving: shard the BATCH axis over a 1-D device mesh.
+    # Each ensemble member is independent (no cross-member reductions), so
+    # pure sharding annotations suffice — XLA partitions the vmapped program
+    # with zero collectives on the hot path; this is the dp axis of the
+    # parallel story (the spatial halo decomposition in na_dd_tpu.parallel
+    # is the tensor axis).
+    shard_batch = None
+    if args.dp:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        devs = jax.devices()[: args.dp]
+        assert len(devs) == args.dp, (len(jax.devices()), args.dp)
+        mesh = Mesh(np.asarray(devs), ("b",))
+        sharding = NamedSharding(mesh, PartitionSpec("b"))
+        shard_batch = lambda a: jax.device_put(a, sharding)  # noqa: E731
+        print(f"data-parallel over {args.dp} devices", flush=True)
+
     batches = [int(b) for b in args.batches.split(",")]
     results = {}
     base_per_sim = None
@@ -116,6 +138,8 @@ def main():
         # an eta screen around the study's production value (50): distinct
         # parameters per member, same compiled program
         etas = jnp.asarray(np.linspace(20.0, 200.0, B))
+        if shard_batch is not None and B % args.dp == 0:
+            etas = shard_batch(etas)
         run = jax.jit(jax.vmap(simulate_one))
         t0 = time.perf_counter()
         out = jax.block_until_ready(run(etas))
@@ -159,6 +183,7 @@ def main():
         num_steps=num_steps,
         x64=x64,
         backend=jax.default_backend(),
+        dp=args.dp,
         krylov_unroll=unroll,
         batches={str(b): r for b, r in results.items()},
         timestamp=time.strftime("%Y-%m-%d %H:%M:%S"),

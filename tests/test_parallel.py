@@ -301,3 +301,44 @@ def test_sharded_mixed_direct_step_matches_local():
             atol=1e-12,
             err_msg=v,
         )
+
+
+def test_data_parallel_ensemble_matches_local():
+    """The serving axis: a vmapped ensemble (independent simulations over a
+    traced eta screen) with its BATCH axis sharded over the 8-device mesh
+    must match the unsharded run bit-for-bit — each member is independent,
+    so pure sharding annotations partition the program with zero
+    collectives on the hot path (studies/ensemble_throughput.py --dp)."""
+    from jax.sharding import Mesh, NamedSharding
+
+    g, model, mms, _integ, s0 = _mk(N=7, M=7)
+
+    def simulate_one(eta):
+        forcing = MMSForcingRegHCsTriple(
+            mms_case=mms, model=model, regularization_factor=eta
+        )
+        field = FieldRegHCsTriple(
+            grid=g, model=model, forcing=forcing, regularization_factor=eta
+        )
+        integ = PCTrapezoidalRegHCsTriple(
+            field, regularization_factor=eta, track_residuals=False,
+            krylov_unroll=8,
+        )
+
+        def body(s, k):
+            s1, _diag = integ.step_fn(g, LOCAL_OPS, s, k * 1e-3, 1e-3)
+            return s1, None
+
+        s_final, _ = jax.lax.scan(body, s0, jnp.arange(3, dtype=jnp.result_type(float)))
+        return s_final
+
+    etas = jnp.linspace(20.0, 200.0, 8)
+    run = jax.jit(jax.vmap(simulate_one))
+    out_local = jax.block_until_ready(run(etas))
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("b",))
+    etas_sh = jax.device_put(etas, NamedSharding(mesh, P("b")))
+    out_dp = jax.block_until_ready(run(etas_sh))
+    for v in State._fields:
+        d = np.max(np.abs(np.asarray(getattr(out_dp, v)) - np.asarray(getattr(out_local, v))))
+        assert d == 0.0, (v, d)
