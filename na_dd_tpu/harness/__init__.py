@@ -17,6 +17,7 @@ from na_dd_tpu.harness.simulate import (
     simulate,
     simulate_adaptive,
 )
+from na_dd_tpu.harness.gradients import build_simulator, fit_parameters
 
 __all__ = [
     "ErrorTimeSeries",
@@ -32,4 +33,6 @@ __all__ = [
     "released_drug_fraction",
     "simulate",
     "simulate_adaptive",
+    "build_simulator",
+    "fit_parameters",
 ]

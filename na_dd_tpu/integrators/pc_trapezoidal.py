@@ -145,6 +145,7 @@ class PCTrapezoidalBase:
         coupling_source: str | None = None,
         fused_triple: bool | None = None,
         linear_solver: str | None = None,
+        differentiable: bool = False,
     ):
         """krylov_tol: relative linear-solve residual target.  None (default)
         resolves per-trace to the dtype-aware value (1e-13 in f64, 1e-5 in
@@ -233,7 +234,25 @@ class PCTrapezoidalBase:
         ``precision="mixed"`` the inner f32 solves use the f32 BCR (each
         refinement pass then contracts the f64 residual by ~f32 eps).
         Requires ``assemble_stencil=True``; local (non-shard_map) ops only.
-        Defaults from NA_DD_TPU_SOLVER ("krylov"/"direct")."""
+        Defaults from NA_DD_TPU_SOLVER ("krylov"/"direct").
+
+        differentiable: make the whole step reverse-mode differentiable with
+        implicit-function-theorem adjoints.  Every Newton linear solve is
+        wrapped in ``jax.lax.custom_linear_solve``: the forward pass is
+        bit-identical to the default path (the wrapper returns the solver's
+        own output), while under ``jax.grad`` the cotangent solves the
+        TRANSPOSED system with the same BiCGStab instead of backpropagating
+        through the Krylov iterations — exact adjoints at one extra solve per
+        solve, O(1) memory in the iteration count, and it works even with the
+        (otherwise non-reverse-differentiable) ``lax.while_loop`` solver.
+        Parameter gradients (model constants, regularization factor, initial
+        state, dt-independent forcings) flow through the closed-form plane
+        algebra automatically.  The reference has no adjoint capability at
+        all (its solves are SuperLU calls on hand-assembled CSR); this is a
+        TPU-framework-native extension enabling gradient-based calibration
+        (see :mod:`na_dd_tpu.harness.gradients`).  Requires the jnp Krylov
+        path: precision="full", linear_solver="krylov", stencil_backend=
+        "jnp" (the Mosaic kernels define no VJP)."""
         self.semi_discrete_field = semi_discrete_field
         self._model = semi_discrete_field.model
         self._grid = semi_discrete_field.grid
@@ -293,6 +312,21 @@ class PCTrapezoidalBase:
         if linear_solver == "direct" and not self.assemble_stencil:
             raise ValueError("linear_solver='direct' requires assemble_stencil=True")
         self.linear_solver = linear_solver
+        self.differentiable = bool(differentiable)
+        if self.differentiable:
+            bad = []
+            if self.precision != "full":
+                bad.append(f"precision={self.precision!r}")
+            if self.linear_solver != "krylov":
+                bad.append(f"linear_solver={self.linear_solver!r}")
+            if self.stencil_backend != "jnp":
+                bad.append(f"stencil_backend={self.stencil_backend!r}")
+            if bad:
+                raise ValueError(
+                    "differentiable=True requires the jnp Krylov path "
+                    "(precision='full', linear_solver='krylov', "
+                    f"stencil_backend='jnp'); got {', '.join(bad)}"
+                )
         # fused triple-solve kernel on the pallas+analytic path.  Default ON
         # (env NA_DD_TPU_TRIPLE=0 disables) — measured 0.034 s vs 0.031 s
         # for the per-solve fused path at N=256 (slightly slower there: 32
@@ -443,31 +477,37 @@ class PCTrapezoidalBase:
             noise_T = noise_cl = noise_cd = 0.0
 
         def krylov(matvec, rhs, inv_diag):
-            if self.krylov_unroll is not None:
-                solver = (
-                    linsolve.bicgstab_scanned
-                    if self.krylov_scanned
-                    else linsolve.bicgstab_unrolled
+            minv = lambda r: r * inv_diag  # noqa: E731
+
+            def run(mv, b):
+                if self.krylov_unroll is not None:
+                    solver = (
+                        linsolve.bicgstab_scanned
+                        if self.krylov_scanned
+                        else linsolve.bicgstab_unrolled
+                    )
+                    return solver(
+                        mv, b, jnp.zeros_like(b), dot=dot, minv=minv,
+                        tol=self.krylov_tol, iters=self.krylov_unroll,
+                    )
+                return linsolve.bicgstab(
+                    mv, b, jnp.zeros_like(b), dot=dot, minv=minv,
+                    tol=self.krylov_tol, maxiter=self.krylov_maxiter,
                 )
-                delta, info = solver(
-                    matvec,
-                    rhs * mask,
-                    jnp.zeros_like(rhs),
-                    dot=dot,
-                    minv=lambda r: r * inv_diag,
-                    tol=self.krylov_tol,
-                    iters=self.krylov_unroll,
+
+            b = rhs * mask
+            if self.differentiable:
+                # Implicit-function-theorem adjoint: forward output is run()'s
+                # own (bit-identical); under reverse-mode AD the cotangent
+                # solves Aᵀy = ḡ with the SAME solver (transpose_solve receives
+                # the auto-transposed matvec) instead of backpropagating
+                # through the Krylov iterations.  The Jacobi preconditioner is
+                # reused as-is — diag(Aᵀ) = diag(A).
+                delta, info = jax.lax.custom_linear_solve(
+                    matvec, b, solve=run, transpose_solve=run, has_aux=True
                 )
             else:
-                delta, info = linsolve.bicgstab(
-                    matvec,
-                    rhs * mask,
-                    jnp.zeros_like(rhs),
-                    dot=dot,
-                    minv=lambda r: r * inv_diag,
-                    tol=self.krylov_tol,
-                    maxiter=self.krylov_maxiter,
-                )
+                delta, info = run(matvec, b)
             return delta * mask, info
 
         def solve_f32(st32, b32, inv32, mask32):
@@ -978,6 +1018,12 @@ class PCTrapezoidalRegHCsTriple(PCTrapezoidalBase):
         self._regularization_factor = regularization_factor
         self._num_newton_iterations = int(num_newton_iterations)
         self._consec_xs_rtol = float(consec_xs_rtol)
+        if self.differentiable and self._num_newton_iterations > 16:
+            raise ValueError(
+                "differentiable=True needs the unrolled pointwise-Newton cs "
+                "corrector (num_newton_iterations <= 16); the while_loop form "
+                "used for larger budgets is not reverse-mode differentiable"
+            )
 
     def initial_cs_pred(self, g, ops, at_t, t, *, dt):
         return self._heun_cs(g, ops, at_t, t, dt=dt) * g.interior_mask

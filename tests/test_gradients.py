@@ -1,0 +1,194 @@
+"""End-to-end differentiability: IFT adjoints through the implicit solves.
+
+The reference framework has no adjoint capability (NumPy forward model,
+SuperLU solves); these tests certify the beyond-reference gradient surface:
+
+* ``differentiable=True`` changes nothing in the forward pass (the
+  custom_linear_solve wrapper returns the solver's own output);
+* ``jax.grad`` of an observable of a multi-step simulation matches central
+  finite differences for model constants, the RegHCs regularization factor
+  and the initial state;
+* the IFT adjoint agrees with plain backprop through the unrolled Krylov
+  iterations (two independent derivative routes);
+* :func:`na_dd_tpu.harness.gradients.fit_parameters` recovers a perturbed
+  parameter from synthetic data.
+
+Setup notes: Kd is boosted to 1e-2 (vs the physical 1e-8) so the reaction
+pathway's sensitivities (Kd, eta) are resolvable by f64 central differences
+of an O(1) observable; the observable is the total H-norm energy of the
+final state, which depends on every parameter tested.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from na_dd_tpu.core.state import State
+from na_dd_tpu.harness.gradients import build_simulator, fit_parameters
+from na_dd_tpu.harness.simulate import make_integrator, released_drug_fraction
+from na_dd_tpu.models.coefficients import Model02
+from na_dd_tpu.models.consts import default_model_consts
+from na_dd_tpu.ops.grid import make_uniform_grid
+from na_dd_tpu.ops.inner_products import inner_H
+from na_dd_tpu.ops.shifts import LOCAL_OPS
+
+N = 12
+DT = 2e-3
+NUM_STEPS = 4
+MC = default_model_consts._replace(Kd=1e-2)
+BASE = {
+    "Dl_max": 8.01e-4,
+    "Dd_max": 2.46e-6,
+    "Kd": 1e-2,
+    "K3": 1e-2,
+    "regularization_factor": 50.0,
+}
+
+
+@pytest.fixture(scope="module")
+def setup():
+    g = make_uniform_grid(N, N)
+    blob = jnp.exp(-60.0 * ((g.xx - 0.5) ** 2 + (g.yy - 0.5) ** 2)) * g.interior_mask
+    s0 = State(cp=0.5 * blob, T=0.1 * blob, cl=0.2 * blob, cd=0.05 * blob, cs=blob)
+    return g, s0
+
+
+def energy(g, s):
+    """Σ_v ‖v‖²_H of the final state — O(1) and sensitive to every model
+    parameter (diffusivities, reaction constants, eta)."""
+    return sum(inner_H(LOCAL_OPS, g, u, u) for u in s)
+
+
+@pytest.fixture(scope="module")
+def loss(setup):
+    g, s0 = setup
+    sim = build_simulator(
+        g, dt=DT, num_steps=NUM_STEPS, base_consts=MC, krylov_unroll=8
+    )
+    return lambda params: energy(g, sim(params, s0))
+
+
+def test_differentiable_forward_is_identical(setup):
+    """The custom_linear_solve wrapper must not change forward values."""
+    g, s0 = setup
+    model = Model02(MC)
+    kw = dict(variant="reghcstriple", regularization_factor=50.0, krylov_unroll=8)
+    ref = make_integrator(g, model, **kw)
+    diff = make_integrator(g, model, differentiable=True, **kw)
+    s_ref, d_ref = jax.jit(ref.step_fn, static_argnums=1)(g, LOCAL_OPS, s0, 0.0, DT)
+    s_diff, d_diff = jax.jit(diff.step_fn, static_argnums=1)(g, LOCAL_OPS, s0, 0.0, DT)
+    for a, b in zip(s_ref, s_diff):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(d_ref.krylov_iters) == int(d_diff.krylov_iters)
+    assert bool(d_diff.krylov_converged)
+
+
+#: Relative FD step per key.  Dd_max's gradient is ~300x smaller than the
+#: loss scale, so the default step leaves the central difference dominated by
+#: f64 rounding of the loss; a larger step trades (negligible) truncation
+#: error for noise (measured: 1e-5 step → 1.2e-3 FD noise, 1e-3 step → clean).
+_H_REL = {"Dd_max": 1e-3}
+
+
+@pytest.mark.parametrize("key", sorted(BASE))
+def test_parameter_gradient_matches_fd(loss, key):
+    grads = jax.grad(loss)({k: jnp.asarray(v) for k, v in BASE.items()})
+    val = BASE[key]
+    h = abs(val) * _H_REL.get(key, 1e-5)
+    fd = (float(loss(dict(BASE, **{key: val + h})))
+          - float(loss(dict(BASE, **{key: val - h})))) / (2 * h)
+    ad = float(grads[key])
+    assert ad == pytest.approx(fd, rel=1e-3), (key, ad, fd)
+
+
+def test_initial_state_gradient_matches_fd(setup):
+    g, s0 = setup
+    sim = build_simulator(
+        g, dt=DT, num_steps=NUM_STEPS, base_consts=MC, krylov_unroll=8
+    )
+    params = {"Dl_max": jnp.asarray(8.01e-4)}
+
+    def loss_state(s):
+        return energy(g, sim(params, s))
+
+    grad_s = jax.grad(loss_state)(s0)
+    rng = np.random.default_rng(7)
+    direction = State(
+        *(jnp.asarray(rng.standard_normal(s0.T.shape)) * g.interior_mask
+          for _ in range(5))
+    )
+    ad = sum(float(jnp.sum(gu * du)) for gu, du in zip(grad_s, direction))
+    h = 1e-6
+    sp = State(*(u + h * du for u, du in zip(s0, direction)))
+    sm = State(*(u - h * du for u, du in zip(s0, direction)))
+    fd = (float(loss_state(sp)) - float(loss_state(sm))) / (2 * h)
+    assert ad == pytest.approx(fd, rel=1e-6), (ad, fd)
+
+
+def test_ift_adjoint_matches_unrolled_backprop(setup):
+    """Two independent derivative routes: custom_linear_solve IFT adjoints vs
+    plain reverse-mode through the unrolled BiCGStab iterations."""
+    g, s0 = setup
+    params = {"Kd": jnp.asarray(1e-2)}
+
+    def make_loss(differentiable):
+        sim = build_simulator(
+            g, dt=DT, num_steps=2, base_consts=MC,
+            differentiable=differentiable, krylov_unroll=8,
+        )
+        return lambda p: energy(g, sim(p, s0))
+
+    g_ift = float(jax.grad(make_loss(True))(params)["Kd"])
+    g_bp = float(jax.grad(make_loss(False))(params)["Kd"])
+    assert g_ift == pytest.approx(g_bp, rel=1e-7), (g_ift, g_bp)
+
+
+def test_grad_works_with_while_loop_solver(setup):
+    """krylov_unroll=None (the CPU-default while_loop BiCGStab) is reverse-
+    differentiable ONLY through the IFT wrapper — exactly the case it exists
+    for."""
+    g, s0 = setup
+    sim = build_simulator(
+        g, dt=DT, num_steps=1, base_consts=MC, krylov_unroll=None
+    )
+    params = {"Dl_max": jnp.asarray(8.01e-4)}
+    gval = jax.grad(lambda p: energy(g, sim(p, s0)))(params)["Dl_max"]
+    assert np.isfinite(float(gval)) and float(gval) != 0.0
+
+
+def test_differentiable_rejects_incompatible_modes(setup):
+    g, _ = setup
+    model = Model02(MC)
+    for bad in (
+        dict(precision="mixed"),
+        dict(linear_solver="direct"),
+        dict(stencil_backend="pallas"),
+    ):
+        with pytest.raises(ValueError, match="differentiable"):
+            make_integrator(
+                g, model, variant="reghcstriple", regularization_factor=50.0,
+                differentiable=True, **bad,
+            )
+    with pytest.raises(ValueError, match="num_newton_iterations"):
+        make_integrator(
+            g, model, variant="reghcstriple", regularization_factor=50.0,
+            differentiable=True, num_newton_iterations=40,
+        )
+
+
+def test_fit_parameters_recovers_kd(setup):
+    """Synthetic-data calibration: perturb Kd by 2x, recover by Adam in log
+    space on the released-fraction mismatch."""
+    g, s0 = setup
+    sim = build_simulator(
+        g, dt=DT, num_steps=NUM_STEPS, base_consts=MC, krylov_unroll=8
+    )
+    obs = lambda s: released_drug_fraction(LOCAL_OPS, g, s, s0)  # noqa: E731
+    target = obs(sim({"Kd": jnp.asarray(1e-2)}, s0))
+    fitted, history = fit_parameters(
+        sim, obs, target, {"Kd": 2e-2}, s0,
+        num_iterations=25, learning_rate=0.2,
+    )
+    assert history[-1] < history[0] * 1e-2, history
+    assert fitted["Kd"] == pytest.approx(1e-2, rel=0.05), fitted
