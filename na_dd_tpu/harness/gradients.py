@@ -25,9 +25,13 @@ at the cost of roughly one extra (transposed) simulation:
 Typical use::
 
     sim = build_simulator(grid, dt=1e-3, num_steps=100)
-    observable = lambda s: released_drug_fraction(LOCAL_OPS, grid, s, s0)
-    loss = lambda p: (observable(sim(p, s0)) - measured) ** 2
-    g = jax.grad(loss)({"Dl_max": 8.01e-4, "Dd_max": 2.46e-6})
+    # Pick an observable that is actually sensitive to the parameters you
+    # fit: dissolved_drug_fraction carries O(1) Kd sensitivity, whereas
+    # released_drug_fraction is Kd-invariant by the conservation structure
+    # of the reaction (it only transfers mass between cs and cd).
+    observable = lambda s: dissolved_drug_fraction(LOCAL_OPS, grid, s)
+    loss = lambda p: ((observable(sim(p, s0)) - measured) / measured) ** 2
+    g = jax.grad(loss)({"Kd": 1e-2, "Dl_max": 8.01e-4})
 
 or gradient-descent calibration in one call via :func:`fit_parameters`.
 """
@@ -93,13 +97,19 @@ def build_simulator(
         mc = base_consts._replace(
             **{k: v for k, v in params.items() if k in ModelConsts._fields}
         )
-        eta = params.get("regularization_factor", 50.0)
+        # Only forward eta when the params supply it — make_integrator owns
+        # the default so the two cannot drift apart.
+        eta_kw = (
+            {"regularization_factor": params["regularization_factor"]}
+            if "regularization_factor" in params
+            else {}
+        )
         integ = make_integrator(
             grid,
             model_cls(mc),
             variant=variant,
-            regularization_factor=eta,
             forcing=forcing,
+            **eta_kw,
             **integ_defaults,
         )
 
@@ -142,17 +152,29 @@ def fit_parameters(
 
     ``optimizer`` is any optax GradientTransformation (default
     ``optax.adam(learning_rate)``); ``loss_fn(pred, target)`` defaults to the
-    mean squared error.  Returns ``(params, history)`` with ``history`` a
-    list of float losses per iteration.  The whole update step (value, grad,
-    optimizer update) is one jitted program; iterations are a Python loop so
-    the caller can stop early on the returned history.
+    TARGET-NORMALIZED mean squared error ``mean(((pred-target)/scale)**2)``
+    with ``scale = max(|target|)`` (or 1 for an all-zero target).  The
+    normalization matters: Adam's default ``eps=1e-8`` freezes updates when
+    gradients are far below eps, so a raw MSE on a small-magnitude observable
+    (e.g. a 1e-9 fraction mismatch → 1e-17 loss) silently stalls; the relative
+    loss is O(1) regardless of the observable's units.  If you pass your own
+    ``loss_fn``, keep its scale near O(1) or supply
+    ``optimizer=optax.adam(lr, eps=...)`` accordingly.
+
+    Returns ``(params, history)`` with ``history`` a list of float losses per
+    iteration.  The whole update step (value, grad, optimizer update) is one
+    jitted program; iterations are a Python loop so the caller can stop early
+    on the returned history.
     """
     import optax
 
     if optimizer is None:
         optimizer = optax.adam(learning_rate)
     if loss_fn is None:
-        loss_fn = lambda pred, tgt: jnp.mean((pred - tgt) ** 2)  # noqa: E731
+        def loss_fn(pred, tgt):
+            scale = jnp.max(jnp.abs(tgt))
+            scale = jnp.where(scale > 0, scale, 1.0)
+            return jnp.mean(((pred - tgt) / scale) ** 2)
 
     target = jax.tree_util.tree_map(jnp.asarray, target)
     log_params = {k: jnp.log(jnp.asarray(v, dtype=jnp.result_type(float)))

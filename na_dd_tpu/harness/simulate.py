@@ -226,7 +226,13 @@ def simulate_adaptive(
 def released_drug_fraction(ops: Ops, g: Grid, state: State, initial: State):
     """Cumulative released-drug metric: 1 - (∫cs + ∫cd)/(∫cs0 + ∫cd0) with the
     discrete H-measure — a physically meaningful observable for drug-delivery
-    runs (not present in the reference)."""
+    runs (not present in the reference).
+
+    CAUTION for calibration: the Kd reaction term only TRANSFERS mass between
+    cs and cd (reference src/prob1base.py:2653-2672: ``Fcd += R``,
+    ``Fcs -= R``), so this combined-mass observable is invariant to Kd up to
+    the small Dd diffusive outflux — do NOT use it to fit Kd.  Use
+    :func:`dissolved_drug_fraction` (directly Kd-sensitive) instead."""
     from na_dd_tpu.ops.inner_products import inner_H
 
     one = jnp.ones_like(state.cs)
@@ -234,3 +240,18 @@ def released_drug_fraction(ops: Ops, g: Grid, state: State, initial: State):
     total0 = mass(initial.cs) + mass(initial.cd)
     total = mass(state.cs) + mass(state.cd)
     return 1.0 - total / total0
+
+
+def dissolved_drug_fraction(ops: Ops, g: Grid, state: State):
+    """Dissolved fraction ∫cd / (∫cd + ∫cs) with the discrete H-measure.
+
+    The observable of choice for calibrating the dissolution-rate constant
+    Kd: the reaction term moves mass from cs to cd at rate ∝ Kd, so this
+    ratio carries O(1) Kd sensitivity (unlike the total released mass, which
+    is Kd-invariant by the conservation structure of the reaction)."""
+    from na_dd_tpu.ops.inner_products import inner_H
+
+    one = jnp.ones_like(state.cs)
+    mass = lambda u: inner_H(ops, g, u, one)
+    cd, cs = mass(state.cd), mass(state.cs)
+    return cd / (cd + cs)

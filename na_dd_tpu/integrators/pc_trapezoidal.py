@@ -252,7 +252,19 @@ class PCTrapezoidalBase:
         TPU-framework-native extension enabling gradient-based calibration
         (see :mod:`na_dd_tpu.harness.gradients`).  Requires the jnp Krylov
         path: precision="full", linear_solver="krylov", stencil_backend=
-        "jnp" (the Mosaic kernels define no VJP)."""
+        "jnp" (the Mosaic kernels define no VJP).
+
+        Adjoint-convergence caveat: ``custom_linear_solve`` discards the
+        transpose solve's diagnostics, so an unconverged adjoint BiCGStab
+        (e.g. a small ``krylov_unroll`` budget on a stiff system) yields a
+        silently inaccurate gradient — unlike the forward pass, which
+        surfaces ``krylov_converged``.  The forward and transposed systems
+        share the spectrum (Aᵀ has the same eigenvalues), so a budget that
+        converges forward solves comfortably (check StepDiagnostics) is the
+        practical guard; when in doubt, raise ``krylov_unroll`` or validate
+        the gradient against the unrolled-backprop route
+        (``differentiable=False`` with ``krylov_unroll`` set), as
+        tests/test_gradients.py does."""
         self.semi_discrete_field = semi_discrete_field
         self._model = semi_discrete_field.model
         self._grid = semi_discrete_field.grid
