@@ -117,6 +117,51 @@ def run_single():
         steady = min(steady, time.perf_counter() - t0)
 
     err = summary.overall_combined_error
+
+    # ---- Roofline account (VERDICT r3 task 4): how much of the chip does
+    # this stencil workload actually use?  XLA's post-optimization cost
+    # model for ONE compiled time step (flops + bytes accessed across the
+    # fused HLO), scaled by the step count and divided by the measured
+    # steady wall-clock -> achieved HBM bandwidth / FLOP rate, reported as
+    # a fraction of the v5e peaks.  This is a cost-MODEL estimate (f64
+    # emulation inflates both numbers; per-step error collection is
+    # included since the step is benched inside the same scan), not a
+    # hardware counter — but it answers "is 0.03 s fast, or is there 10x
+    # headroom": see README 'Roofline' note for the interpretation.
+    roofline = {}
+    try:
+        num_steps = round(Tf / summary.dt_used)
+        step = jax.jit(trial.integrator.step_fn, static_argnums=1)
+        compiled = step.lower(
+            grid, trial.ops, trial.initial_state, 0.0, summary.dt_used
+        ).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        if ca:
+            step_bytes = float(ca.get("bytes accessed", float("nan")))
+            step_flops = float(ca.get("flops", float("nan")))
+            hbm_gbps = step_bytes * num_steps / steady / 1e9
+            gflops = step_flops * num_steps / steady / 1e9
+            # TPU v5e (v5 lite) peaks: 819 GB/s HBM, 197 TFLOP/s bf16 MXU
+            roofline = {
+                "step_bytes_accessed": step_bytes,
+                "step_flops": step_flops,
+                "hbm_gbps": round(hbm_gbps, 1),
+                "pct_hbm_peak_v5e": round(100.0 * hbm_gbps / 819.0, 2),
+                "gflops_per_s": round(gflops, 1),
+            }
+            print(
+                f"[bench] roofline: {step_bytes / 1e6:.1f} MB + "
+                f"{step_flops / 1e9:.2f} GF per step x {num_steps} steps "
+                f"/ {steady:.3f}s -> {hbm_gbps:.0f} GB/s "
+                f"({roofline['pct_hbm_peak_v5e']:.1f}% of v5e HBM peak), "
+                f"{gflops:.0f} GFLOP/s",
+                file=sys.stderr,
+            )
+    except Exception as exc:  # cost model unavailable on some backends
+        print(f"[bench] roofline unavailable: {exc!r}", file=sys.stderr)
+
     mode = (
         ("f64" if x64 else "f32")
         + ("" if stencil_backend == "jnp" else f"+{stencil_backend}")
@@ -134,17 +179,15 @@ def run_single():
         print(f"[bench] WARNING: error {err} off reference {reference_error}", file=sys.stderr)
 
     metric = "mmscasepol_spatial_N256_wallclock" + ("" if x64 else "_f32")
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(steady, 4),
-                "unit": "s",
-                "vs_baseline": round(baseline_s / steady, 2),
-                "error": err,
-            }
-        )
-    )
+    payload = {
+        "metric": metric,
+        "value": round(steady, 4),
+        "unit": "s",
+        "vs_baseline": round(baseline_s / steady, 2),
+        "error": err,
+    }
+    payload.update(roofline)
+    print(json.dumps(payload))
 
 
 def main():
@@ -214,6 +257,9 @@ def main():
         "vs_baseline": f64["vs_baseline"],
         "f64_error": f64["error"],
     }
+    if "hbm_gbps" in f64:
+        out["f64_hbm_gbps"] = f64["hbm_gbps"]
+        out["f64_pct_hbm_peak"] = f64["pct_hbm_peak_v5e"]
     baseline_s = round(f64["value"] * f64["vs_baseline"], 1)  # recover 280.4
     for name in MODES:
         if name == "f64" or name not in results:
@@ -222,6 +268,9 @@ def main():
         out[f"{name}_s"] = r["value"]
         out[f"{name}_vs_baseline"] = round(baseline_s / r["value"], 2)
         out[f"{name}_error"] = r["error"]
+        if "hbm_gbps" in r:
+            out[f"{name}_hbm_gbps"] = r["hbm_gbps"]
+            out[f"{name}_pct_hbm_peak"] = r["pct_hbm_peak_v5e"]
     if failed:
         out["modes_failed"] = failed
     print(json.dumps(out))

@@ -80,6 +80,78 @@ def _max_rel_dev(ours, ref):
     return max(devs) if devs else float("nan")
 
 
+#: Reference-parity gate (relative).  TPU results beyond it are not accepted
+#: on faith: the driver adjudicates the worst offending level on CPU x64 in a
+#: subprocess (the f64-emulation noise is program-shape-dependent — see
+#: docs/axon_f64_scan_fusion_bug.md — while CPU x64 reproduces the reference
+#: exactly for every solver shape measured).
+PARITY_GATE = 1e-8
+
+
+def _adjudicate(res, ref_errors):
+    """CPU-x64 adjudication of the worst over-gate level (subprocess).
+
+    Picks the level with the largest relative deviation whose estimated cost
+    fits NA_DD_ADJUDICATE_BUDGET node-steps (default 5e7 — a few minutes on
+    the single CPU core; the expensive Tf=1 finest levels would take hours
+    there), runs studies/adjudicate_level.py with a hard timeout, and returns
+    the parsed verdict dict (or a status record on skip/timeout/crash)."""
+    import subprocess
+
+    if os.environ.get("NA_DD_ADJUDICATE", "1") == "0":
+        return {"status": "disabled"}
+    from studies.adjudicate_level import level_cost
+
+    budget = float(os.environ.get("NA_DD_ADJUDICATE_BUDGET", 5e7))
+    kind = res["kind"].replace("eta_batched", "eta")
+    devs = []
+    for k, (a, b) in enumerate(zip(res["errors"], ref_errors)):
+        dev = (0.0 if a == b == 0.0 else math.inf) if b == 0.0 else abs(a - b) / abs(b)
+        devs.append((dev, k))
+    over = [(d, k) for d, k in devs if d > PARITY_GATE]
+    affordable = [
+        (d, k) for d, k in over if level_cost(res["study"], kind, k) <= budget
+    ]
+    if not affordable:
+        return {
+            "status": "skipped_over_budget",
+            "over_gate_levels": [k for _, k in over],
+            "budget_node_steps": budget,
+        }
+    dev, k = max(affordable)
+    cmd = [
+        sys.executable,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "adjudicate_level.py"),
+        res["study"], kind, str(k),
+    ]
+    timeout_s = float(os.environ.get("NA_DD_ADJUDICATE_TIMEOUT", 3600))
+    print(f"  [adjudicate] worst affordable level {k} (TPU dev {dev:.2e}) "
+          f"on CPU x64 ...", flush=True)
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+    except subprocess.TimeoutExpired:
+        return {"status": "timeout", "level": k, "timeout_s": timeout_s}
+    for line in proc.stdout.splitlines():
+        if line.startswith("ADJUDICATION_JSON: "):
+            verdict = json.loads(line[len("ADJUDICATION_JSON: "):])
+            verdict["status"] = "ok"
+            verdict["tpu_rel_dev"] = dev
+            affordable_levels = {kk for _d, kk in affordable}
+            verdict["skipped_over_budget_levels"] = [
+                kk for _d, kk in over if kk not in affordable_levels
+            ]
+            return verdict
+    return {
+        "status": "crashed",
+        "level": k,
+        "rc": proc.returncode,
+        "stderr_tail": proc.stderr[-500:],
+    }
+
+
 def main():
     device = str(jax.devices()[0])
     t_start = time.time()
@@ -134,6 +206,19 @@ def main():
         if ref_errors:
             res["reference_errors"] = ref_errors
             res["max_rel_dev_vs_reference"] = _max_rel_dev(res["errors"], ref_errors)
+            if res["max_rel_dev_vs_reference"] > PARITY_GATE:
+                res["adjudication"] = _adjudicate(res, ref_errors)
+                v = res["adjudication"]
+                if v.get("status") == "ok":
+                    print(
+                        f"  [adjudicate] level {v['level']}: CPU x64 err "
+                        f"{v['cpu_error']:.6e} vs ref {v['reference']:.3e} "
+                        f"(rel {v['cpu_rel_dev']:.2e}) -> "
+                        f"{'PASS' if v['passed'] else 'FAIL'}",
+                        flush=True,
+                    )
+                else:
+                    print(f"  [adjudicate] {v}", flush=True)
         _save_json(res)
         print(
             f"########## done {study}/{kind} in {res['total_wallclock_s']:.1f}s "

@@ -60,16 +60,22 @@ def write_report(device: str = "", total_s: float | None = None) -> str:
         "apples-to-apples number vs the reference's serial CPU time); first-run",
         "times (including one-time XLA compilation) are archived in the JSONs.",
         "",
+        "'adjudicated': when max rel dev exceeds the 1e-8 gate the driver",
+        "re-runs the worst affordable level on CPU x64 in a subprocess",
+        "(studies/adjudicate_level.py) — exact f64 arithmetic, no emulation —",
+        "and reports that level's CPU-vs-reference deviation here; '—' means",
+        "the study was within the gate and needed no adjudication.",
+        "",
         "| study | kind | levels | final error (ours) | final error (ref) | "
-        "max rel dev | final rate (ours/ref) | finest steady vs ref | speedup |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "max rel dev | adjudicated | final rate (ours/ref) | finest steady vs ref | speedup |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     missing = []
     for study, kind in ORDER:
         res = _load(study, kind)
         if res is None:
             missing.append((study, kind))
-            lines.append(f"| {study} | {kind} | MISSING | | | | | | |")
+            lines.append(f"| {study} | {kind} | MISSING | | | | | | | |")
             continue
         ref_errors = REFERENCE_ERRORS.get((study, kind), [])
         ref_rate = REFERENCE_FINAL_RATE.get((study, kind))
@@ -78,10 +84,20 @@ def write_report(device: str = "", total_s: float | None = None) -> str:
         final_rate = res["rates"][-1] if res.get("rates") else float("nan")
         steady = (res.get("steady_s") or res["wallclock_s"])[-1]
         dev = res.get("max_rel_dev_vs_reference", float("nan"))
+        adj = res.get("adjudication")
+        if adj is None:
+            adj_cell = "—"
+        elif adj.get("status") == "ok":
+            adj_cell = (
+                f"L{adj['level']} cpu-x64 {adj['cpu_rel_dev']:.1e} "
+                f"{'PASS' if adj['passed'] else '**FAIL**'}"
+            )
+        else:
+            adj_cell = adj.get("status", "?")
         lines.append(
             f"| {study} | {kind} | {len(res['errors'])} | {final_err:.3e} | "
             f"{(f'{ref_errors[-1]:.3e}' if ref_errors else '—')} | "
-            f"{dev:.1e} | "
+            f"{dev:.1e} | {adj_cell} | "
             f"{final_rate:.3f} / {(f'{ref_rate:.3f}' if ref_rate else '—')} | "
             f"{steady:.2f}s vs {(f'{ref_t:.0f}s' if ref_t else '—')} | "
             f"{(f'{ref_t / steady:.0f}x' if ref_t and steady > 0 else '—')} |"
