@@ -141,7 +141,7 @@ class PCTrapezoidalBase:
         track_residuals: bool = True,
         stencil_backend: str | None = None,
         precision: str | None = None,
-        mixed_refine: int = 2,
+        mixed_refine: int | None = None,
         coupling_source: str | None = None,
         fused_triple: bool | None = None,
         linear_solver: str | None = None,
@@ -250,9 +250,15 @@ class PCTrapezoidalBase:
         algebra automatically.  The reference has no adjoint capability at
         all (its solves are SuperLU calls on hand-assembled CSR); this is a
         TPU-framework-native extension enabling gradient-based calibration
-        (see :mod:`na_dd_tpu.harness.gradients`).  Requires the jnp Krylov
-        path: precision="full", linear_solver="krylov", stencil_backend=
-        "jnp" (the Mosaic kernels define no VJP).
+        (see :mod:`na_dd_tpu.harness.gradients`).  Covers every production
+        solver config on the jnp backend: full-precision Krylov (the
+        transpose solve reuses BiCGStab on the auto-transposed matvec),
+        ``linear_solver="direct"`` (the cotangent system is another
+        block-tridiagonal solve — BCR on the explicitly transposed planes,
+        :meth:`Stencil5.transpose`) and ``precision="mixed"`` (the
+        refinement wrapper is linear in b, so the transposed-plane
+        refinement is its exact adjoint solve).  Requires
+        stencil_backend="jnp" (the Mosaic kernels define no VJP).
 
         Adjoint-convergence caveat: ``custom_linear_solve`` discards the
         transpose solve's diagnostics, so an unconverged adjoint BiCGStab
@@ -307,6 +313,8 @@ class PCTrapezoidalBase:
         if precision == "mixed" and not self.assemble_stencil:
             raise ValueError("precision='mixed' requires assemble_stencil=True")
         self.precision = precision
+        if mixed_refine is None:
+            mixed_refine = int(os.environ.get("NA_DD_TPU_MIXED_REFINE", "2"))
         self.mixed_refine = int(mixed_refine)
         if coupling_source is None:
             coupling_source = os.environ.get("NA_DD_TPU_COUPLING", "jvp")
@@ -326,18 +334,16 @@ class PCTrapezoidalBase:
         self.linear_solver = linear_solver
         self.differentiable = bool(differentiable)
         if self.differentiable:
-            bad = []
-            if self.precision != "full":
-                bad.append(f"precision={self.precision!r}")
-            if self.linear_solver != "krylov":
-                bad.append(f"linear_solver={self.linear_solver!r}")
+            # full-krylov wraps the matrix-free BiCGStab (auto-transposed
+            # matvec); mixed and direct wrap their plane-based solvers with
+            # explicitly transposed planes (Stencil5.transpose).  Only the
+            # Mosaic kernel backend stays out: its solves would be fine
+            # under the IFT wrapper (solve fns are never differentiated),
+            # but the jnp path keeps the gradient test matrix exact.
             if self.stencil_backend != "jnp":
-                bad.append(f"stencil_backend={self.stencil_backend!r}")
-            if bad:
                 raise ValueError(
-                    "differentiable=True requires the jnp Krylov path "
-                    "(precision='full', linear_solver='krylov', "
-                    f"stencil_backend='jnp'); got {', '.join(bad)}"
+                    "differentiable=True requires stencil_backend='jnp' "
+                    f"(got {self.stencil_backend!r})"
                 )
         # fused triple-solve kernel on the pallas+analytic path.  Default ON
         # (env NA_DD_TPU_TRIPLE=0 disables) — measured 0.034 s vs 0.031 s
@@ -649,9 +655,50 @@ class PCTrapezoidalBase:
             inv_diag = jnp.where(
                 mask > 0, 1.0 / jnp.where(st.c0 == 0, 1.0, st.c0), 0.0
             )
+
+            def ift_plane_solve(plane_solver):
+                """IFT adjoints for the plane-based solvers (mixed
+                refinement, BCR direct): the forward output is the solver's
+                own; under reverse-mode AD the cotangent system Aᵀy = ḡ is
+                solved by the SAME solver on the explicitly transposed
+                planes (diag(Aᵀ) = diag(A), so preconditioners/verdicts
+                carry over).  Like the Krylov wrapper, the transpose solve's
+                aux diagnostics are discarded by custom_linear_solve — see
+                the differentiable docstring caveat."""
+                b = rhs * mask
+                st_T = st.transpose(ops)
+                matvec = lambda w: st.apply(ops, w)  # noqa: E731
+                x, info = jax.lax.custom_linear_solve(
+                    matvec,
+                    b,
+                    solve=lambda _mv, bb: plane_solver(st, bb),
+                    transpose_solve=lambda _mv, bb: plane_solver(st_T, bb),
+                    has_aux=True,
+                )
+                return x * mask, info
+
             if self.precision == "mixed":
+                if self.differentiable:
+                    # inv_diag is recomputed per operand: diag(Aᵀ) = diag(A)
+                    # so the same expression serves both orientations
+                    return ift_plane_solve(
+                        lambda stx, b: solve_assembled_mixed(
+                            stx,
+                            b,
+                            jnp.where(
+                                mask > 0,
+                                1.0 / jnp.where(stx.c0 == 0, 1.0, stx.c0),
+                                0.0,
+                            ),
+                            noise_sq,
+                        )
+                    )
                 return solve_assembled_mixed(st, rhs, inv_diag, noise_sq)
             if self.linear_solver == "direct":
+                if self.differentiable:
+                    return ift_plane_solve(
+                        lambda stx, b: solve_direct(stx, b, noise_sq)
+                    )
                 return solve_direct(st, rhs, noise_sq)
             if self.stencil_backend == "pallas" and ops is self._local_ops:
                 afits, apply_k, apply_tiled, ffits, fsolve = self._pallas_ops()
@@ -710,7 +757,7 @@ class PCTrapezoidalBase:
             analytic
             and self.fused_triple
             and self.coupling_source == "analytic"
-            and self.precision == "full"
+            and self.precision in ("full", "mixed")
             and self.linear_solver == "krylov"
             and self.stencil_backend == "pallas"
             # LOCAL_OPS (not self._local_ops): the triple kernel is 2-D-only
@@ -725,7 +772,10 @@ class PCTrapezoidalBase:
                 triple_solve_pallas,
             )
 
-            if triple_solve_fits(s.T.shape, s.T.dtype):
+            kernel_dtype = (
+                jnp.float32 if self.precision == "mixed" else s.T.dtype
+            )
+            if triple_solve_fits(s.T.shape, kernel_dtype):
                 interp = jax.default_backend() == "cpu"
                 fT0 = field.FT(g, ops, s, t1)
                 fcl0 = field.Fcl(g, ops, s, t1)
@@ -733,31 +783,120 @@ class PCTrapezoidalBase:
                 J_T = self._newton_planes(g, ops, field.stencil_dFT_dT(g, ops, s), dt)
                 J_cl = self._newton_planes(g, ops, field.stencil_dFcl_dcl(g, ops, s), dt)
                 J_cd = self._newton_planes(g, ops, field.stencil_dFcd_dcd(g, ops, s), dt)
+                C_clT = field.stencil_dFcl_dT(g, ops, s)
+                C_cdT = field.stencil_dFcd_dT(g, ops, s)
+                d_cdcl = field.diag_dFcd_dcl(g, s)
+                rhs_T = YT0 - (2.0 * s.T - dt * fT0)
+                base_cl = Ycl0 - 2.0 * s.cl + dt * fcl0
+                base_cd = Ycd0 - 2.0 * s.cd + dt * fcd0
                 inv = lambda st: jnp.where(  # noqa: E731
                     mask > 0, 1.0 / jnp.where(st.c0 == 0, 1.0, st.c0), 0.0
-                )
-                dT, dcl, dcd, info3 = triple_solve_pallas(
-                    J_T, J_cl, J_cd,
-                    field.stencil_dFcl_dT(g, ops, s),
-                    field.stencil_dFcd_dT(g, ops, s),
-                    field.diag_dFcd_dcl(g, s),
-                    YT0 - (2.0 * s.T - dt * fT0),
-                    Ycl0 - 2.0 * s.cl + dt * fcl0,
-                    Ycd0 - 2.0 * s.cd + dt * fcd0,
-                    inv(J_T), inv(J_cl), inv(J_cd), mask, dt,
-                    tol=self.krylov_tol,
-                    iters=self.krylov_unroll,
-                    interpret=interp,
-                )
+                ).astype(st.c0.dtype)
+                if self.precision == "full":
+                    dT, dcl, dcd, info3 = triple_solve_pallas(
+                        J_T, J_cl, J_cd, C_clT, C_cdT, d_cdcl,
+                        rhs_T, base_cl, base_cd,
+                        inv(J_T), inv(J_cl), inv(J_cd), mask, dt,
+                        tol=self.krylov_tol,
+                        iters=self.krylov_unroll,
+                        interpret=interp,
+                    )
+                    unpack = lambda k: {  # noqa: E731
+                        key: info3[key][k]
+                        for key in ("iters", "resnorm_sq", "converged")
+                    }
+                    info_T, info_cl, info_cd = unpack(0), unpack(1), unpack(2)
+                else:
+                    # Mixed precision, whole-sweep form: block-triangular
+                    # iterative refinement with the fused f32 triple kernel
+                    # as the inner solver.  The sweep's linear algebra is the
+                    # block lower-triangular system M z = w with
+                    #   M = [[J_T, 0, 0],
+                    #        [-dt C_clT,  J_cl, 0],
+                    #        [-dt C_cdT, -dt diag(d_cdcl), J_cd]],
+                    #   w = (rhs_T, base_cl, base_cd);
+                    # the triple kernel applied to a residual r solves
+                    # M e = r exactly in that triangular form, so classical
+                    # refinement z <- z + kernel(w - M z) converges each row
+                    # to the f64 target while EVERY Krylov iteration (all
+                    # three solves, couplings included) stays inside one
+                    # native-f32 VMEM kernel per pass — one launch per pass
+                    # instead of three, and the f64 emulation touches only
+                    # the residual plane-applies between passes.
+                    f32 = jnp.float32
+                    cast = lambda st: type(st)(  # noqa: E731
+                        *(p.astype(f32) for p in st)
+                    )
+                    J_T32, J_cl32, J_cd32 = cast(J_T), cast(J_cl), cast(J_cd)
+                    C_clT32, C_cdT32 = cast(C_clT), cast(C_cdT)
+                    d32 = d_cdcl.astype(f32)
+                    m32 = mask.astype(f32)
+                    wT = rhs_T * mask
+                    wcl = base_cl * mask
+                    wcd = base_cd * mask
+                    zT = jnp.zeros_like(wT)
+                    zcl = jnp.zeros_like(wcl)
+                    zcd = jnp.zeros_like(wcd)
+                    iters3 = jnp.zeros((3,), dtype=jnp.int32)
+                    for k in range(self.mixed_refine + 1):
+                        if k == 0:
+                            rT, rcl, rcd = wT, wcl, wcd
+                        else:
+                            rT = wT - J_T.apply(ops, zT)
+                            rcl = (
+                                wcl + dt * C_clT.apply(ops, zT)
+                                - J_cl.apply(ops, zcl)
+                            )
+                            rcd = (
+                                wcd + dt * (C_cdT.apply(ops, zT) + d_cdcl * zcl)
+                                - J_cd.apply(ops, zcd)
+                            )
+                        eT, ecl, ecd, info3 = triple_solve_pallas(
+                            J_T32, J_cl32, J_cd32, C_clT32, C_cdT32, d32,
+                            (rT * mask).astype(f32),
+                            (rcl * mask).astype(f32),
+                            (rcd * mask).astype(f32),
+                            inv(J_T32), inv(J_cl32), inv(J_cd32), m32, dt,
+                            tol=MIXED_INNER_TOL,
+                            iters=self.krylov_unroll,
+                            interpret=interp,
+                        )
+                        zT = zT + eT.astype(wT.dtype) * mask
+                        zcl = zcl + ecl.astype(wT.dtype) * mask
+                        zcd = zcd + ecd.astype(wT.dtype) * mask
+                        iters3 = iters3 + info3["iters"]
+                    # Final f64 block residuals -> per-system verdicts with
+                    # the same rhs-cancellation noise floor as the per-system
+                    # mixed path (see solve_assembled's docstring).
+                    tol = self.krylov_tol
+                    def verdict(r, b, extra_iters, noise):
+                        rsq = dot(r * mask, r * mask)
+                        return {
+                            "iters": extra_iters,
+                            "resnorm_sq": rsq,
+                            "converged": rsq
+                            <= jnp.maximum(tol * tol * dot(b, b), noise),
+                        }
+                    bcl_eff = wcl + dt * C_clT.apply(ops, zT)
+                    bcd_eff = wcd + dt * (C_cdT.apply(ops, zT) + d_cdcl * zcl)
+                    info_T = verdict(
+                        wT - J_T.apply(ops, zT), wT, iters3[0], noise_T
+                    )
+                    info_cl = verdict(
+                        bcl_eff - J_cl.apply(ops, zcl), bcl_eff, iters3[1],
+                        noise_cl,
+                    )
+                    info_cd = verdict(
+                        bcd_eff - J_cd.apply(ops, zcd), bcd_eff, iters3[2],
+                        noise_cd,
+                    )
+                    dT, dcl, dcd = zT, zcl, zcd
                 T1 = s.T * mask + dT  # boundary re-zeroed, as in the reference
                 cl1 = s.cl + dcl  # boundary kept
                 cd1 = s.cd + dcd
-                unpack = lambda k: {  # noqa: E731
-                    key: info3[key][k] for key in ("iters", "resnorm_sq", "converged")
-                }
                 return self._sweep_tail(
                     g, ops, s, t1, dt, Y, T1, cl1, cd1,
-                    unpack(0), unpack(1), unpack(2),
+                    info_T, info_cl, info_cd,
                 )
 
         # --- T (reference newton_step_T, src/prob1base.py:2998-3045) ---

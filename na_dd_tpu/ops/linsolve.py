@@ -158,6 +158,23 @@ class Stencil5(NamedTuple):
             + self.cyp * ops.shift_yp(w)
         )
 
+    def transpose(self, ops: Ops) -> "Stencil5":
+        """Planes of the transposed operator Aᵀ (still a 5-point stencil).
+
+        Row ij of Aᵀ collects the coefficients with which node ij appears in
+        its neighbors' rows: (Aᵀv)[ij] = c0[ij]v[ij] + cxp[i-1,j]v[i-1,j]
+        + cxm[i+1,j]v[i+1,j] + cyp[i,j-1]v[i,j-1] + cym[i,j+1]v[i,j+1] — the
+        off-diagonal planes swap roles and shift by one.  Used by the IFT
+        adjoints of the plane-based solvers (mixed refinement, BCR direct):
+        the cotangent system Aᵀy = ḡ is just another plane solve."""
+        return Stencil5(
+            c0=self.c0,
+            cxm=ops.shift_xm(self.cxp),
+            cxp=ops.shift_xp(self.cxm),
+            cym=ops.shift_ym(self.cyp),
+            cyp=ops.shift_yp(self.cym),
+        )
+
 
 def diffusion_planes(g: Grid, ops: Ops, ax, ay) -> Stencil5:
     """Exact stencil planes of w ↦ D*_x(ax ⊙ D_{-x} w) + D*_y(ay ⊙ D_{-y} w).

@@ -51,6 +51,13 @@ def main():
         help="regularization sweep eta=10..1000 (7 values) at N=--n0, "
         "dt=--dt0, as ONE vmapped program (RegHCs)",
     )
+    ap.add_argument(
+        "--temporal",
+        action="store_true",
+        help="temporal ladder: FIXED grid N=--n0, dt = --dt0 / 2^k "
+        "(expected order 2 until the spatial floor; the 3-D twin of the "
+        "reference's notebook cell 11)",
+    )
     ap.add_argument("--tf", type=float, default=0.02)
     ap.add_argument("--dt0", type=float, default=1e-2, help="dt at the coarsest level")
     ap.add_argument("--eta", type=float, default=50.0)
@@ -166,7 +173,9 @@ def main():
 
     levels = []
     for k in range(args.levels):
-        N = args.n0 * 2**k
+        # spatial ladder: N doubles and dt halves per level (order-2 in
+        # both); temporal ladder: FIXED N, dt halves (notebook cell 11 twin)
+        N = args.n0 if args.temporal else args.n0 * 2**k
         dt = args.dt0 / 2**k
         g, case, _field, integ = make_setup3(
             MMSCaseExpSin3,
@@ -217,15 +226,30 @@ def main():
     errs = [lv["error"] for lv in levels]
     rates = [float(np.log2(errs[i] / errs[i + 1])) for i in range(len(errs) - 1)]
     print("observed rates:", [f"{r:.3f}" for r in rates])
-    ok = (
-        all(abs(r - 2.0) < 0.35 for r in rates[-2:]) if len(rates) >= 2 else True
-    ) and all(lv["converged"] for lv in levels)
+    if args.temporal:
+        # temporal ladders legitimately stall on the fixed grid's spatial
+        # floor (the reference's own cell-11 behavior): a level passes on
+        # rate ~2 OR on sitting at the floor (error stopped moving)
+        floor = [
+            abs(errs[i] - errs[i + 1]) < 0.05 * errs[i]
+            for i in range(len(errs) - 1)
+        ]
+        rate_ok = all(
+            abs(r - 2.0) < 0.35 or f for r, f in zip(rates[-2:], floor[-2:])
+        ) if len(rates) >= 2 else True
+    else:
+        rate_ok = (
+            all(abs(r - 2.0) < 0.35 for r in rates[-2:]) if len(rates) >= 2 else True
+        )
+    ok = rate_ok and all(lv["converged"] for lv in levels)
     print("[OK]" if ok else "[RATE/CONVERGENCE CHECK FAILED]")
 
     result = dict(
         backend=jax.default_backend(),
         x64=bool(jax.config.jax_enable_x64),
         variant=args.variant,
+        kind="temporal" if args.temporal else "spatial",
+        precision=os.environ.get("NA_DD_TPU_PRECISION", "full"),
         Tf=args.tf,
         eta=args.eta,
         levels=levels,

@@ -66,16 +66,23 @@ def write_report(device: str = "", total_s: float | None = None) -> str:
         "and reports that level's CPU-vs-reference deviation here; '—' means",
         "the study was within the gate and needed no adjudication.",
         "",
-        "| study | kind | levels | final error (ours) | final error (ref) | "
+        "'mode': the arithmetic that produced the row — 'f64' (per-level",
+        "full-f64 programs) or 'mixed' (f64-accurate iterative refinement",
+        "around native-f32 Krylov, the fast default; where present, the",
+        "'f64 spot' sub-value is the measured relative gap between the",
+        "mixed and full-f64 result of the finest level, re-run in f64 as",
+        "part of the same refresh).",
+        "",
+        "| study | kind | mode | levels | final error (ours) | final error (ref) | "
         "max rel dev | adjudicated | final rate (ours/ref) | finest steady vs ref | speedup |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     missing = []
     for study, kind in ORDER:
         res = _load(study, kind)
         if res is None:
             missing.append((study, kind))
-            lines.append(f"| {study} | {kind} | MISSING | | | | | | | |")
+            lines.append(f"| {study} | {kind} | MISSING | | | | | | | | |")
             continue
         ref_errors = REFERENCE_ERRORS.get((study, kind), [])
         ref_rate = REFERENCE_FINAL_RATE.get((study, kind))
@@ -94,8 +101,14 @@ def write_report(device: str = "", total_s: float | None = None) -> str:
             )
         else:
             adj_cell = adj.get("status", "?")
+        mode_cell = res.get("precision", "f64").replace("full", "f64")
+        if res.get("batched"):
+            mode_cell += " batched"
+        spot = res.get("f64_spotcheck")
+        if spot:
+            mode_cell += f", f64 spot {spot['mixed_vs_f64_rel']:.0e}"
         lines.append(
-            f"| {study} | {kind} | {len(res['errors'])} | {final_err:.3e} | "
+            f"| {study} | {kind} | {mode_cell} | {len(res['errors'])} | {final_err:.3e} | "
             f"{(f'{ref_errors[-1]:.3e}' if ref_errors else '—')} | "
             f"{dev:.1e} | {adj_cell} | "
             f"{final_rate:.3f} / {(f'{ref_rate:.3f}' if ref_rate else '—')} | "

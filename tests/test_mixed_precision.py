@@ -61,6 +61,40 @@ def test_mixed_with_pallas_kernels_matches_f64():
     assert abs(e_mp - e64) / e64 < 1e-8, f"mixed+pallas {e_mp} vs f64 {e64}"
 
 
+def test_mixed_fused_triple_block_refinement_matches_f64():
+    """precision='mixed' + pallas + analytic couplings routes the WHOLE
+    triangular sweep through block-triangular iterative refinement around
+    the fused f32 triple kernel (one kernel launch per refinement pass —
+    the round-4 full-accuracy perf path).  Study error must sit on the f64
+    value, and the diagnostics must survive the SMEM readback + f64
+    verdicts."""
+    from na_dd_tpu.mms.engine import state_from_mms_when
+    from na_dd_tpu.ops import LOCAL_OPS
+
+    _, s64 = _pol_summary()
+    e64 = float(s64.overall_combined_error)
+    trial, s_bt = _pol_summary(
+        precision="mixed", stencil_backend="pallas", coupling_source="analytic"
+    )
+    e_bt = float(s_bt.overall_combined_error)
+    assert abs(e_bt - e64) / e64 < 1e-8, f"block-refined {e_bt} vs f64 {e64}"
+
+    s0 = state_from_mms_when(mms_case=trial.mms_case, t=0.0, grid=trial.grid)
+    _, diag = trial.integrator.step_fn(trial.grid, LOCAL_OPS, s0, 0.0, 1e-3)
+    assert int(diag.krylov_iters) > 0
+    assert bool(diag.krylov_converged)
+
+    # one refinement pass fewer (NA_DD_TPU_MIXED_REFINE A/B lever): still on
+    # the f64 value for this well-conditioned protocol
+    trial1, s_bt1 = _pol_summary(
+        precision="mixed", stencil_backend="pallas",
+        coupling_source="analytic", mixed_refine=1,
+    )
+    assert trial1.integrator.mixed_refine == 1
+    e_bt1 = float(s_bt1.overall_combined_error)
+    assert abs(e_bt1 - e64) / e64 < 1e-8, f"refine=1 {e_bt1} vs f64 {e64}"
+
+
 def test_mixed_requires_x64_and_assembled_stencils():
     from na_dd_tpu.core import FieldRegHCsTriple, MMSForcingRegHCsTriple
     from na_dd_tpu.integrators import PCTrapezoidalRegHCsTriple
