@@ -184,3 +184,30 @@ def test_newton_inner_solve_matches_dense():
         np.asarray(delta).ravel()[mask_flat], delta_dense, rtol=1e-9, atol=1e-12
     )
     assert float(jnp.max(jnp.abs(delta * (1 - g.interior_mask)))) == 0.0
+
+
+def test_stencil5_transpose_is_exact_dense_transpose():
+    """Stencil5.transpose must reproduce the dense matrix transpose exactly
+    (it is the adjoint-system operator of the differentiable direct/mixed
+    solve paths — see pc_trapezoidal's ift_plane_solve)."""
+    rng = np.random.default_rng(SEED)
+    n = 7
+    mk = lambda: jnp.asarray(rng.standard_normal((n, n)))  # noqa: E731
+    st = linsolve.Stencil5(c0=mk(), cxm=mk(), cxp=mk(), cym=mk(), cyp=mk())
+    st_T = st.transpose(OPS)
+
+    def dense(stx):
+        cols = []
+        for idx in range(n * n):
+            e = np.zeros(n * n)
+            e[idx] = 1.0
+            cols.append(
+                np.asarray(stx.apply(OPS, jnp.asarray(e.reshape(n, n)))).ravel()
+            )
+        return np.stack(cols, axis=1)
+
+    np.testing.assert_array_equal(dense(st).T, dense(st_T))
+    # involution: (Aᵀ)ᵀ = A up to the zero rows the shifts introduce at the
+    # array edge (plane values shifted out and back are exactly zeroed)
+    st_TT = st_T.transpose(OPS)
+    np.testing.assert_array_equal(dense(st), dense(st_TT))
