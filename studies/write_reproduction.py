@@ -36,17 +36,22 @@ ORDER = [
 ]
 
 
-def _load(study, kind):
+def _load(study, kind, results_dir=RESULTS_DIR):
     # eta studies may be archived as *_eta_batched.json or *_eta.json
     for suffix in ([kind] if kind != "eta" else ["eta_batched", "eta"]):
-        path = os.path.join(RESULTS_DIR, f"{study}_{suffix}.json")
+        path = os.path.join(results_dir, f"{study}_{suffix}.json")
         if os.path.exists(path):
             with open(path) as f:
                 return json.load(f)
     return None
 
 
-def write_report(device: str = "", total_s: float | None = None) -> str:
+def write_report(
+    device: str = "",
+    total_s: float | None = None,
+    results_dir: str = RESULTS_DIR,
+    out_path: str = REPRO_MD,
+) -> str:
     lines = [
         "# REPRODUCTION — the six reference convergence studies on TPU",
         "",
@@ -79,7 +84,7 @@ def write_report(device: str = "", total_s: float | None = None) -> str:
     ]
     missing = []
     for study, kind in ORDER:
-        res = _load(study, kind)
+        res = _load(study, kind, results_dir)
         if res is None:
             missing.append((study, kind))
             lines.append(f"| {study} | {kind} | MISSING | | | | | | | | |")
@@ -151,9 +156,9 @@ def write_report(device: str = "", total_s: float | None = None) -> str:
     if missing:
         lines.append(f"- Missing runs: {missing} (rerun `python studies/run_all_tpu.py`).")
     text = "\n".join(lines) + "\n"
-    with open(REPRO_MD, "w") as f:
+    with open(out_path, "w") as f:
         f.write(text)
-    return REPRO_MD
+    return out_path
 
 
 if __name__ == "__main__":

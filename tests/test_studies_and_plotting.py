@@ -172,3 +172,50 @@ def test_plotting_helpers(tmp_path):
     case = MMSCasePol(g, model=Model02(default_model_consts))
     p2 = visualize_mms_solution(case, time_point=0.1, save_path=str(tmp_path / "mms.png"))
     assert os.path.exists(p2) and os.path.getsize(p2) > 0
+
+
+def test_reproduction_report_renders_adjudication_and_mode(tmp_path):
+    """write_report must surface the round-4 integrity fields: the mode
+    column (mixed/batched + f64 spot-check) and the CPU-x64 adjudication
+    verdict, from synthetic archived study JSONs."""
+    import json
+
+    from studies.write_reproduction import write_report
+
+    res_dir = tmp_path / "results"
+    res_dir.mkdir()
+    payload = {
+        "study": "pol",
+        "kind": "spatial",
+        "errors": [4.93452e-05, 1.59616e-05, 4.38284e-09],
+        "rates": [1.99],
+        "steady_s": [0.1, 0.1, 0.5],
+        "wallclock_s": [1.0, 1.0, 2.0],
+        "max_rel_dev_vs_reference": 1.9e-6,
+        "precision": "mixed",
+        "batched": True,
+        "f64_spotcheck": {
+            "level": 2, "N": 256, "f64_error": 4.38284e-09,
+            "mixed_error": 4.38284e-09, "mixed_vs_f64_rel": 3.2e-12,
+            "wallclock_s": 12.0,
+        },
+        "adjudication": {
+            "status": "ok", "level": 1, "cpu_error": 1.59616e-05,
+            "reference": 1.59616e-05, "cpu_rel_dev": 2.1e-09,
+            "passed": True, "tpu_rel_dev": 1.9e-6,
+        },
+    }
+    with open(res_dir / "pol_spatial.json", "w") as f:
+        json.dump(payload, f)
+
+    out = tmp_path / "REPRO.md"
+    path = write_report(
+        device="test", results_dir=str(res_dir), out_path=str(out)
+    )
+    text = open(path).read()
+    row = next(line for line in text.splitlines() if line.startswith("| pol | spatial"))
+    assert "mixed batched" in row
+    assert "f64 spot 3e-12" in row
+    assert "L1 cpu-x64 2.1e-09 PASS" in row
+    # studies without archives render as MISSING, not crash
+    assert "| expsin | spatial | MISSING" in text
