@@ -1131,8 +1131,10 @@ class PCTrapezoidalHCsTriple(PCTrapezoidalBase):
         del_Y1 = 2.0 - dt * R1
         # all(del_Y1 >= thr) expressed through the ops reduction so the flag
         # is the GLOBAL verdict under shard_map (a local jnp.all would be
-        # per-shard, silently missing a positivity failure on another shard)
-        ok = ops.amax(-del_Y1) <= -_ESSENTIALLY_ZERO
+        # per-shard, silently missing a positivity failure on another shard).
+        # stop_gradient: a boolean control verdict (pmax has no JVP rule, and
+        # a failure flag must not carry cotangents).
+        ok = ops.amax(jax.lax.stop_gradient(-del_Y1)) <= -_ESSENTIALLY_ZERO
 
         Y0 = 2.0 * at_t0.cs + dt * field.Fcs(g, ops, at_t0, t0) + dt * fcs1
         cs1 = jnp.where(
@@ -1231,8 +1233,12 @@ class PCTrapezoidalRegHCsTriple(PCTrapezoidalBase):
             # but phrased as ops reductions so the early exit is GLOBALLY
             # agreed under shard_map (a per-shard jnp.all would let shards
             # freeze at different iterations)
-            max_dx = ops.amax(jnp.abs(dx))
-            min_abs_x = -ops.amax(-jnp.abs(x_new))
+            # stop_gradient: the early-exit decision is control flow (its
+            # derivative is zero a.e., and pmax has no differentiation rule
+            # under shard_map) — iterates keep full gradients, only the
+            # done-mask comparison is detached.
+            max_dx = ops.amax(jax.lax.stop_gradient(jnp.abs(dx)))
+            min_abs_x = -ops.amax(jax.lax.stop_gradient(-jnp.abs(x_new)))
             done_new = max_dx < rtol * min_abs_x
             return x_new, done_new
 

@@ -48,12 +48,18 @@ def build_sharded_step(integrator, mesh, *, axis_x="x", axis_y=None):
     # mesh-invariant.  All scalar diagnostics are built from ops.asum/amax
     # (psum/pmax) reductions, so the check passes — and would catch any
     # future per-shard jnp.all/jnp.max sneaking into a replicated output.
+    # Exception: the differentiable mode's lax.custom_linear_solve primitive
+    # rejects mixed varying-manual-axes operands under the vma checker (a
+    # JAX limitation — the error message itself prescribes check_vma=False
+    # as the workaround); the distributed-adjoint parity test
+    # (tests/test_parallel.py::test_sharded_step_gradient_matches_local)
+    # gates that the unchecked program still matches the local gradient.
     sharded = jax.shard_map(
         raw,
         mesh=mesh,
         in_specs=(spec, spec, P(), P()),
         out_specs=(spec, P()),
-        check_vma=True,
+        check_vma=not getattr(integrator, "differentiable", False),
     )
     return jax.jit(sharded)
 

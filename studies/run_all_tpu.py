@@ -22,11 +22,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+if "--cpu" in sys.argv:  # de-risking runs while another process holds the TPU
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 from na_dd_tpu.config import enable_persistent_compilation_cache
 
-enable_persistent_compilation_cache()
+if "--cpu" not in sys.argv:
+    enable_persistent_compilation_cache()
 
 from na_dd_tpu.harness.studies import (
     run_eta_study_batched,

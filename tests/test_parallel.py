@@ -342,3 +342,38 @@ def test_data_parallel_ensemble_matches_local():
     for v in State._fields:
         d = np.max(np.abs(np.asarray(getattr(out_dp, v)) - np.asarray(getattr(out_local, v))))
         assert d == 0.0, (v, d)
+
+
+def test_sharded_step_gradient_matches_local():
+    """Distributed adjoints: jax.grad of an observable of the SHARDED step
+    (ppermute halos + psum reductions inside shard_map, IFT adjoints on the
+    Newton solves) must match the gradient of the local step — every
+    collective has an exact transpose, so sharding must not change the
+    derivative."""
+    g, _model, _mms, _integ, s0 = _mk()
+    forcing = _integ.semi_discrete_field.forcing
+    field = FieldRegHCsTriple(
+        grid=g, model=_model, forcing=forcing, regularization_factor=50.0
+    )
+    integ = PCTrapezoidalRegHCsTriple(
+        field, regularization_factor=50.0, krylov_unroll=8, differentiable=True
+    )
+
+    mesh = make_mesh((8,), ("x",))
+    gs, ss = shard_grid_and_state(mesh, g, s0)
+    step_sh = build_sharded_step(integ, mesh)
+
+    def loss_sharded(s):
+        s1, _d = step_sh(gs, s, 0.0, 1e-3)
+        return jnp.sum(s1.T * s1.T) + jnp.sum(s1.cd)
+
+    def loss_local(s):
+        s1, _d = jax.jit(integ.step_fn, static_argnums=1)(g, LOCAL_OPS, s, 0.0, 1e-3)
+        return jnp.sum(s1.T * s1.T) + jnp.sum(s1.cd)
+
+    g_sh = jax.grad(loss_sharded)(ss)
+    g_lo = jax.grad(loss_local)(s0)
+    for v in ("cp", "T", "cl", "cd", "cs"):
+        a = np.asarray(getattr(g_sh, v))
+        b = np.asarray(getattr(g_lo, v))
+        np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)
