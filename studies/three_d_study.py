@@ -222,6 +222,31 @@ def main():
             f"({lv['warm_per_step_s'] * 1e3:.1f} ms/step)",
             flush=True,
         )
+        # incremental dump: a timeout at a later level (the endpoint can
+        # stall 20-50 min per large-module compile during degradation
+        # episodes) keeps every completed level on disk
+        partial_path = args.out or os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "results",
+            "three_d_study.json",
+        )
+        os.makedirs(os.path.dirname(partial_path), exist_ok=True)
+        with open(partial_path, "w") as f:
+            json.dump(
+                dict(
+                    backend=jax.default_backend(),
+                    x64=bool(jax.config.jax_enable_x64),
+                    variant=args.variant,
+                    kind="temporal" if args.temporal else "spatial",
+                    precision=os.environ.get("NA_DD_TPU_PRECISION", "full"),
+                    Tf=args.tf,
+                    eta=args.eta,
+                    levels=levels,
+                    partial=True,
+                    timestamp=time.strftime("%Y-%m-%d %H:%M:%S"),
+                ),
+                f,
+                indent=1,
+            )
 
     errs = [lv["error"] for lv in levels]
     rates = [float(np.log2(errs[i] / errs[i + 1])) for i in range(len(errs) - 1)]
