@@ -12,6 +12,7 @@ from na_dd_tpu.harness.rates import (
     report_on_rates,
 )
 from na_dd_tpu.harness.simulate import (
+    dissolved_drug_fraction,
     make_integrator,
     released_drug_fraction,
     simulate,
@@ -30,6 +31,7 @@ __all__ = [
     "observed_rates_report",
     "report_on_rates",
     "make_integrator",
+    "dissolved_drug_fraction",
     "released_drug_fraction",
     "simulate",
     "simulate_adaptive",
