@@ -142,6 +142,7 @@ class PCTrapezoidalBase:
         stencil_backend: str | None = None,
         precision: str | None = None,
         mixed_refine: int | None = None,
+        mixed_final_check: bool | None = None,
         coupling_source: str | None = None,
         fused_triple: bool | None = None,
         linear_solver: str | None = None,
@@ -211,6 +212,19 @@ class PCTrapezoidalBase:
         usable at reference accuracy).  Requires x64 mode and
         ``assemble_stencil=True``.  Defaults from the NA_DD_TPU_PRECISION
         env var ("full"/"mixed").
+
+        mixed_final_check: after the refinement passes, compute one more
+        f64 true residual ``b - A·x`` purely to report an HONEST
+        ``krylov_converged``/``resnorm_sq`` verdict (default True; env
+        NA_DD_TPU_MIXED_CHECK=0 disables).  False skips that
+        diagnostic-only plane apply — the returned solution is
+        bit-identical, but the verdict degrades to the LAST inner f32
+        solve's own convergence flag (inner residual ≤
+        :data:`MIXED_INNER_TOL` on the last refinement residual, i.e. a
+        contraction-theory proxy: true relative residual ≲
+        MIXED_INNER_TOL^(mixed_refine+1)) and ``resnorm_sq`` is reported on
+        the last PASS's rhs scale, not ‖b‖.  Purely a perf knob for
+        production runs where the per-solve verdict is not consumed.
 
         coupling_source: how the Newton rhs cross-coupling terms
         (dFcl/dT·δT, dFcd/dT·δT + dFcd/dcl·δcl) are computed in the
@@ -316,6 +330,9 @@ class PCTrapezoidalBase:
         if mixed_refine is None:
             mixed_refine = int(os.environ.get("NA_DD_TPU_MIXED_REFINE", "2"))
         self.mixed_refine = int(mixed_refine)
+        if mixed_final_check is None:
+            mixed_final_check = os.environ.get("NA_DD_TPU_MIXED_CHECK", "1") != "0"
+        self.mixed_final_check = bool(mixed_final_check)
         if coupling_source is None:
             coupling_source = os.environ.get("NA_DD_TPU_COUPLING", "jvp")
         if coupling_source not in ("jvp", "analytic"):
@@ -614,6 +631,15 @@ class PCTrapezoidalBase:
                 e32, info = solve_f32(st32, r.astype(f32), inv32, mask32)
                 x = x + e32.astype(b.dtype) * mask
                 total_iters = total_iters + info["iters"]
+            if not self.mixed_final_check:
+                # proxy verdict from the LAST inner f32 solve (see the
+                # mixed_final_check docstring); saves one diagnostic-only
+                # f64-emulated plane apply + two reductions per solve
+                return x, {
+                    "iters": total_iters,
+                    "resnorm_sq": info["resnorm_sq"].astype(b.dtype),
+                    "converged": info["converged"],
+                }
             r_final = (b - st.apply(ops, x)) * mask
             rsq = dot(r_final, r_final)
             tol = self.krylov_tol
@@ -865,31 +891,48 @@ class PCTrapezoidalBase:
                         zcl = zcl + ecl.astype(wT.dtype) * mask
                         zcd = zcd + ecd.astype(wT.dtype) * mask
                         iters3 = iters3 + info3["iters"]
-                    # Final f64 block residuals -> per-system verdicts with
-                    # the same rhs-cancellation noise floor as the per-system
-                    # mixed path (see solve_assembled's docstring).
-                    tol = self.krylov_tol
-                    def verdict(r, b, extra_iters, noise):
-                        rsq = dot(r * mask, r * mask)
-                        return {
-                            "iters": extra_iters,
-                            "resnorm_sq": rsq,
-                            "converged": rsq
-                            <= jnp.maximum(tol * tol * dot(b, b), noise),
-                        }
-                    bcl_eff = wcl + dt * C_clT.apply(ops, zT)
-                    bcd_eff = wcd + dt * (C_cdT.apply(ops, zT) + d_cdcl * zcl)
-                    info_T = verdict(
-                        wT - J_T.apply(ops, zT), wT, iters3[0], noise_T
-                    )
-                    info_cl = verdict(
-                        bcl_eff - J_cl.apply(ops, zcl), bcl_eff, iters3[1],
-                        noise_cl,
-                    )
-                    info_cd = verdict(
-                        bcd_eff - J_cd.apply(ops, zcd), bcd_eff, iters3[2],
-                        noise_cd,
-                    )
+                    if self.mixed_final_check:
+                        # Final f64 block residuals -> per-system verdicts
+                        # with the same rhs-cancellation noise floor as the
+                        # per-system mixed path (solve_assembled docstring).
+                        tol = self.krylov_tol
+                        def verdict(r, b, extra_iters, noise):
+                            rsq = dot(r * mask, r * mask)
+                            return {
+                                "iters": extra_iters,
+                                "resnorm_sq": rsq,
+                                "converged": rsq
+                                <= jnp.maximum(tol * tol * dot(b, b), noise),
+                            }
+                        bcl_eff = wcl + dt * C_clT.apply(ops, zT)
+                        bcd_eff = wcd + dt * (
+                            C_cdT.apply(ops, zT) + d_cdcl * zcl
+                        )
+                        info_T = verdict(
+                            wT - J_T.apply(ops, zT), wT, iters3[0], noise_T
+                        )
+                        info_cl = verdict(
+                            bcl_eff - J_cl.apply(ops, zcl), bcl_eff,
+                            iters3[1], noise_cl,
+                        )
+                        info_cd = verdict(
+                            bcd_eff - J_cd.apply(ops, zcd), bcd_eff,
+                            iters3[2], noise_cd,
+                        )
+                    else:
+                        # proxy verdicts from the last fused kernel pass
+                        # (see the mixed_final_check docstring)
+                        def proxy(k, extra_iters):
+                            return {
+                                "iters": extra_iters,
+                                "resnorm_sq": info3["resnorm_sq"][k].astype(
+                                    wT.dtype
+                                ),
+                                "converged": info3["converged"][k],
+                            }
+                        info_T = proxy(0, iters3[0])
+                        info_cl = proxy(1, iters3[1])
+                        info_cd = proxy(2, iters3[2])
                     dT, dcl, dcd = zT, zcl, zcd
                 T1 = s.T * mask + dT  # boundary re-zeroed, as in the reference
                 cl1 = s.cl + dcl  # boundary kept

@@ -1,0 +1,242 @@
+#!/usr/bin/env python
+"""Mixed-mode time-budget ablation at the headline level (pol N=256).
+
+VERDICT r4 perf task: mixed+pallas sits at ~0.083 s vs the f32 floor of
+~0.032 s, already at ~79% of v5e HBM peak — closing the gap needs BYTES
+removed, not better scheduling.  This probe splits the per-run wall-clock
+into its budget lines by timing ablated variants of the SAME level in one
+x64 process (all knobs are per-integrator parameters):
+
+* error collection cost     = run_for_errors - simulate_only
+* final-residual diagnostics = default - mixed_final_check=False
+* refinement-pass cost       = refine=2 - refine=1 (and refine=0 accuracy)
+* solver-core cost           = micro-timed f64 Stencil5.apply and fused f32
+                               kernel solve, scaled by solves/run
+* everything else            = f64 field evals + rhs/plane assembly
+                               (the remainder)
+
+Writes studies/results/mixed_perf_probe.json and prints one line per row.
+
+    python studies/mixed_perf_probe.py            # TPU (or CPU fallback)
+"""
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+from na_dd_tpu.config import enable_persistent_compilation_cache, setup_x64
+
+setup_x64()
+if "--cpu" not in sys.argv:
+    enable_persistent_compilation_cache()
+
+import jax.numpy as jnp
+
+from na_dd_tpu.harness.studies import _make_trial, choose_krylov_unroll, study_consts
+from na_dd_tpu.harness.trial import _collect_errors, _scan_step
+from na_dd_tpu.mms import cases as mms_cases
+from na_dd_tpu.mms.engine import state_from_mms_when
+from na_dd_tpu.ops import LOCAL_OPS
+
+N = int(os.environ.get("PROBE_N", "256"))
+ETA = 50.0
+TF = 0.01
+REPEATS = int(os.environ.get("PROBE_REPEATS", "5"))
+
+results = {}
+
+
+def _steady(fn, label):
+    """First call compiles; steady = min over REPEATS (tunnel jitter)."""
+    t0 = time.perf_counter()
+    out = fn()
+    jax.block_until_ready(out)
+    first = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    print(f"[probe {label:32s}] first={first:8.2f}s steady={best:.4f}s", flush=True)
+    return first, best, out
+
+
+def trial_for(**kw):
+    mc = study_consts("pol")
+    dt = (1.0 / N) ** 1.5
+    args = dict(krylov_unroll=choose_krylov_unroll(N, dt, mc))
+    args.update(kw)
+    return _make_trial(mms_cases.MMSCasePol, N, ETA, mc=mc, **args)
+
+
+def run_errors(label, **kw):
+    trial = trial_for(**kw)
+    dt = (1.0 / N) ** 1.5
+    first, best, s = _steady(lambda: trial.run_for_errors(Tf=TF, dt=dt), label)
+    err = float(s.overall_combined_error)
+    print(f"[probe {label:32s}] error={err:.10e}", flush=True)
+    results[label] = {"first_s": first, "steady_s": best, "error": err}
+    return trial
+
+
+def run_sim_only(label, **kw):
+    """Whole-run scan WITHOUT the per-step error collection — the jit is
+    built ONCE so warm calls hit the in-process executable cache (a fresh
+    closure per call would re-trace every time)."""
+    trial = trial_for(**kw)
+    dt = (1.0 / N) ** 1.5
+    num = math.ceil(TF / dt)
+    dt_run = TF / num
+    integ, g = trial.integrator, trial.grid
+
+    @jax.jit
+    def run(s0):
+        def body(s, k):
+            s1, _ = _scan_step(integ, g, LOCAL_OPS, s, k * dt_run, dt_run)
+            return s1, None
+        ks = jnp.arange(num, dtype=jnp.result_type(float))
+        s, _ = jax.lax.scan(body, s0, ks)
+        return s.T
+
+    first, best, _ = _steady(lambda: run(trial.initial_state), label)
+    results[label] = {"first_s": first, "steady_s": best, "num_steps": num}
+    return trial
+
+
+def main():
+    dt = (1.0 / N) ** 1.5
+    num = math.ceil(TF / dt)
+    dt_run = TF / num
+    dev = str(jax.devices()[0])
+    print(f"device={dev} N={N} steps={num} dt={dt_run:.4e}", flush=True)
+
+    mixed = dict(precision="mixed", stencil_backend="pallas")
+
+    # --- end-to-end rows ---
+    run_errors("mixed_errors_r1", mixed_refine=1, **mixed)
+    run_errors("mixed_errors_r1_nocheck", mixed_refine=1,
+               mixed_final_check=False, **mixed)
+    run_errors("mixed_errors_r0_nocheck", mixed_refine=0,
+               mixed_final_check=False, **mixed)
+    run_sim_only("mixed_sim_r1", mixed_refine=1, **mixed)
+    run_sim_only("mixed_sim_r1_nocheck", mixed_refine=1,
+                 mixed_final_check=False, **mixed)
+    run_errors("f64_errors")
+    run_sim_only("f64_sim")
+
+    # --- error-collection scan in isolation (41 evals of the exact MMS
+    # solution + norms on a frozen state; t varies so nothing collapses) ---
+    trial = trial_for(mixed_refine=1, **mixed)
+    g = trial.grid
+    s0 = state_from_mms_when(mms_case=trial.mms_case, t=0.0, grid=g)
+    names = tuple(trial.variable_names)
+    ivars = tuple(trial.integral_vars)
+
+    @jax.jit
+    def collect_scan(s, ts):
+        def body(acc, t):
+            h_sq, grad_sq = _collect_errors(
+                g, LOCAL_OPS, trial.mms_case, s, t, names, ivars
+            )
+            return acc + sum(h_sq.values()) + sum(grad_sq.values()), None
+        acc, _ = jax.lax.scan(body, jnp.asarray(0.0), ts)
+        return acc
+
+    ts = jnp.linspace(0.0, TF, num)
+    first, best, _ = _steady(lambda: collect_scan(s0, ts), "collect_scan_x41")
+    results["collect_scan_x41"] = {"first_s": first, "steady_s": best}
+
+    # --- micro: one f64-emulated plane apply x (3 solves * num steps) ---
+    field = trial.integrator.semi_discrete_field
+    st = trial.integrator._newton_planes(
+        g, LOCAL_OPS, field.stencil_dFT_dT(g, LOCAL_OPS, s0), dt_run
+    )
+    reps = 3 * num
+
+    @jax.jit
+    def apply64_scan(x0):
+        def body(x, _):
+            y = st.apply(LOCAL_OPS, x)
+            # renormalize so the scan cannot be strength-reduced
+            return y / (1.0 + jnp.max(jnp.abs(y))), None
+        x, _ = jax.lax.scan(body, x0, None, length=reps)
+        return x
+
+    first, best, _ = _steady(lambda: apply64_scan(s0.T), f"apply64_x{reps}")
+    results[f"apply64_x{reps}"] = {"first_s": first, "steady_s": best}
+
+    # --- micro: one fused f32 kernel solve x (3 * num) ---
+    if jax.default_backend() != "cpu":
+        from na_dd_tpu.integrators.pc_trapezoidal import MIXED_INNER_TOL
+        from na_dd_tpu.ops.pallas_kernels import (
+            bicgstab_solve_pallas,
+            fused_solve_fits,
+        )
+
+        f32 = jnp.float32
+        st32 = type(st)(*(p.astype(f32) for p in st))
+        mask32 = g.interior_mask.astype(f32)
+        inv32 = jnp.where(
+            mask32 > 0, 1.0 / jnp.where(st32.c0 == 0, 1.0, st32.c0), 0.0
+        ).astype(f32)
+        unroll = trial.integrator.krylov_unroll
+        if fused_solve_fits(s0.T.shape, f32):
+            @jax.jit
+            def fsolve_scan(b0):
+                def body(b, _):
+                    x, _info = bicgstab_solve_pallas(
+                        st32, b, inv32, mask32,
+                        tol=MIXED_INNER_TOL, iters=unroll,
+                    )
+                    return b + 0.0 * x[0, 0], None
+                b, _ = jax.lax.scan(body, b0, None, length=reps)
+                return b
+
+            b0 = (s0.T * g.interior_mask).astype(f32)
+            first, best, _ = _steady(
+                lambda: fsolve_scan(b0), f"fused32_solve_x{reps}"
+            )
+            results[f"fused32_solve_x{reps}"] = {"first_s": first, "steady_s": best}
+
+    # --- budget table ---
+    r1 = results["mixed_errors_r1"]["steady_s"]
+    sim = results["mixed_sim_r1"]["steady_s"]
+    print("\n--- budget (steady, per run of %d steps) ---" % num, flush=True)
+    print(f"total mixed_errors_r1   : {r1:.4f}s")
+    print(f"  error collection      : {r1 - sim:.4f}s "
+          f"(isolated scan: {results['collect_scan_x41']['steady_s']:.4f}s)")
+    nock = results["mixed_errors_r1_nocheck"]["steady_s"]
+    print(f"  final-check diagnostics: {r1 - nock:.4f}s")
+    ap = results[f"apply64_x{reps}"]["steady_s"]
+    print(f"  f64 applies (micro, {reps}x): {ap:.4f}s")
+    if f"fused32_solve_x{reps}" in results:
+        fs = results[f"fused32_solve_x{reps}"]["steady_s"]
+        print(f"  fused f32 solves (micro, {reps}x): {fs:.4f}s")
+    print(f"  simulate-only remainder: {sim:.4f}s")
+
+    out = {
+        "N": N, "steps": num, "device": dev, "repeats": REPEATS,
+        "rows": results,
+        "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "results",
+        "mixed_perf_probe.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"archived: {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -60,6 +60,18 @@ def main():
     )
     ap.add_argument("--tf", type=float, default=0.02)
     ap.add_argument("--dt0", type=float, default=1e-2, help="dt at the coarsest level")
+    ap.add_argument(
+        "--self-reference",
+        action="store_true",
+        help="temporal ladders only: ALSO measure each level's final state "
+        "against a fine-dt run (dt0/2^(levels+1)) on the SAME grid and "
+        "arithmetic, so the fixed grid's spatial error cancels exactly and "
+        "the pure O(dt^2) temporal order is observable even when the MMS "
+        "error sits on the spatial floor (the f32 N=16 ladder measured "
+        "rates ~0.00 against the exact solution — all levels floored at "
+        "3.4e-5 — which validates stability but not temporal order); the "
+        "rate gate then runs on the self-reference errors",
+    )
     ap.add_argument("--eta", type=float, default=50.0)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -171,7 +183,12 @@ def main():
         print("archived:", out_path)
         return 0 if ok else 1
 
+    if args.self_reference and not args.temporal:
+        ap.error("--self-reference requires --temporal")
+
     levels = []
+    final_states = []
+    self_ref_grid = None
     for k in range(args.levels):
         # spatial ladder: N doubles and dt halves per level (order-2 in
         # both); temporal ladder: FIXED N, dt halves (notebook cell 11 twin)
@@ -189,6 +206,10 @@ def main():
         t0 = time.perf_counter()
         res = jax.block_until_ready(run(s0))
         t_cold = time.perf_counter() - t0
+        if args.self_reference:
+            final_states.append(res[0])
+            self_ref_grid = g
+            self_ref_parts = (case, integ)
         # steady = min over 3 calls of the SAME compiled program (tunneled
         # single calls carry tens of ms of jitter — same policy as bench.py)
         t_warm = min(
@@ -251,7 +272,56 @@ def main():
     errs = [lv["error"] for lv in levels]
     rates = [float(np.log2(errs[i] / errs[i + 1])) for i in range(len(errs) - 1)]
     print("observed rates:", [f"{r:.3f}" for r in rates])
-    if args.temporal:
+
+    self_rates = None
+    if args.self_reference:
+        # Reference run: same grid/case/integrator, dt two halvings below
+        # the finest level — its temporal error is 16x below the finest
+        # level's, so it contaminates the observed rates by <log2(17/16).
+        case, integ = self_ref_parts
+        dt_ref = args.dt0 / 2 ** (args.levels + 1)
+        run_ref, s0_ref = build_runner3(
+            self_ref_grid, case, integ, Tf=args.tf, dt=dt_ref
+        )
+        t0 = time.perf_counter()
+        res_ref = jax.block_until_ready(run_ref(s0_ref))
+        print(
+            f"[ref] dt={dt_ref:.2e} ({int(np.ceil(args.tf / dt_ref))} steps) "
+            f"cold={time.perf_counter() - t0:.1f}s conv={bool(res_ref[2])}",
+            flush=True,
+        )
+        s_ref = res_ref[0]
+
+        from na_dd_tpu.three_d.inner_products import inner_H3
+        from na_dd_tpu.three_d.shifts import LOCAL_OPS3
+
+        @jax.jit
+        def diff_norm_sq(sa, sb):
+            tot = 0.0
+            for v in type(sa)._fields:
+                e = getattr(sa, v) - getattr(sb, v)
+                tot = tot + inner_H3(LOCAL_OPS3, self_ref_grid, e, e)
+            return tot
+
+        self_errs = [
+            float(np.sqrt(diff_norm_sq(s_k, s_ref))) for s_k in final_states
+        ]
+        self_rates = [
+            float(np.log2(self_errs[i] / self_errs[i + 1]))
+            for i in range(len(self_errs) - 1)
+        ]
+        for lv, se in zip(levels, self_errs):
+            lv["self_ref_error"] = se
+        print("self-reference errors:", [f"{e:.3e}" for e in self_errs])
+        print("self-reference rates:", [f"{r:.3f}" for r in self_rates])
+
+    if args.temporal and args.self_reference:
+        rate_ok = (
+            all(abs(r - 2.0) < 0.35 for r in self_rates[-2:])
+            if len(self_rates) >= 2
+            else True
+        )
+    elif args.temporal:
         # temporal ladders legitimately stall on the fixed grid's spatial
         # floor (the reference's own cell-11 behavior): a level passes on
         # rate ~2 OR on sitting at the floor (error stopped moving)
@@ -279,6 +349,7 @@ def main():
         eta=args.eta,
         levels=levels,
         rates=rates,
+        self_reference_rates=self_rates,
         timestamp=time.strftime("%Y-%m-%d %H:%M:%S"),
     )
     out_path = args.out or os.path.join(

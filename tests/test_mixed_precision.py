@@ -186,3 +186,46 @@ def test_honest_residual_paths_converged_under_multi_sweep():
         s0 = state_from_mms_when(mms_case=trial.mms_case, t=0.0, grid=trial.grid)
         _, diag = trial.integrator.step_fn(trial.grid, LOCAL_OPS, s0, 0.0, 1e-3)
         assert bool(diag.krylov_converged), (kw, float(diag.krylov_resnorm_sq))
+
+
+def test_mixed_final_check_off_is_bit_identical_and_cheaper_graph():
+    """mixed_final_check=False skips only the diagnostic-only final f64
+    residual: the stepped STATE must be bit-identical to the default path
+    (the refinement passes are untouched), the verdict degrades to the last
+    inner f32 solve's flag, and both the per-system and fused-triple block
+    paths honor the knob (the latter exercised via interpret-mode pallas on
+    CPU)."""
+    from na_dd_tpu.mms.engine import state_from_mms_when
+    from na_dd_tpu.ops import LOCAL_OPS
+
+    for extra in (
+        dict(),
+        dict(stencil_backend="pallas", coupling_source="analytic"),
+    ):
+        def step_out(**kw):
+            trial = _make_trial(
+                mms_cases.MMSCasePol, 8, 50.0, mc=study_consts("pol"),
+                krylov_unroll=8, precision="mixed", **extra, **kw,
+            )
+            s0 = state_from_mms_when(
+                mms_case=trial.mms_case, t=0.0, grid=trial.grid
+            )
+            return trial.integrator.step_fn(
+                trial.grid, LOCAL_OPS, s0, 0.0, 1e-3
+            )
+
+        s_on, d_on = step_out()
+        s_off, d_off = step_out(mixed_final_check=False)
+        for a, b in zip(s_on, s_off):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert bool(d_on.krylov_converged) and bool(d_off.krylov_converged)
+        assert int(d_on.krylov_iters) == int(d_off.krylov_iters)
+
+
+def test_mixed_final_check_env_default(monkeypatch):
+    monkeypatch.setenv("NA_DD_TPU_MIXED_CHECK", "0")
+    trial = _make_trial(
+        mms_cases.MMSCasePol, 8, 50.0, mc=study_consts("pol"),
+        precision="mixed",
+    )
+    assert trial.integrator.mixed_final_check is False
