@@ -40,12 +40,50 @@ class ErrorTimeSeries(NamedTuple):
     grad_h_norm_p_sq_errors: Dict[str, np.ndarray]  # var -> (K+1,)
 
 
-def _collect_errors(g: Grid, ops: Ops, mms_case, s: State, t, variable_names, integral_vars):
+def _collect_errors(
+    g: Grid, ops: Ops, mms_case, s: State, t, variable_names, integral_vars,
+    tail_grid: Optional[Grid] = None,
+):
+    """Per-step squared error norms against the exact MMS solution.
+
+    tail_grid: optional lower-precision Grid (same geometry, every float
+    plane downcast).  When given, the norm/gradient TAIL runs at that dtype:
+    the error field ``s_var - exact_var`` is still formed in the ambient
+    dtype (it is a cancellation of O(1) quantities and MUST be), then
+    downcast, and the squared-norm products, gradient stencils and metric
+    weights run at the tail dtype with the final reductions accumulated back
+    in the ambient dtype.  Error analysis: the downcast perturbs each error
+    element by a RELATIVE ~eps(tail), so the squared norms carry ~2·eps
+    relative noise, incoherent across the grid (measured on the headline
+    level: ~2e-9 relative on the final combined error vs the 1e-8 parity
+    gate — studies/mixed_perf_probe.py archives the A/B).  On the TPU
+    f64-emulation backend this halves the per-step error-collection traffic
+    and removes its emulated-f64 elementwise chains (~42% of the mixed-mode
+    step budget measured before this option existed).
+
+    The gradient of the error is computed as grad(err) (one stencil pass on
+    the small downcast field) instead of the reference's
+    grad(num) - grad(exact) (two stencil passes then a cancelling subtract)
+    — linearity makes them analytically identical, and the error-first order
+    is the numerically safer one at tail precision.
+    """
     exact = state_from_mms_when(mms_case=mms_case, t=t, grid=g)
     h_sq = {}
     grad_sq = {}
     for var in variable_names:
         err = getattr(s, var) - getattr(exact, var)
+        if tail_grid is not None:
+            gt = tail_grid
+            e = err.astype(gt.w_H.dtype)
+            h_sq[var] = ops.asum((e * e * gt.w_H).astype(err.dtype))
+            if var in integral_vars:
+                ex, ey = stencils.grad_H(ops, gt, e)
+                grad_sq[var] = ops.asum(
+                    (ex * ex * gt.w_pk).astype(err.dtype)
+                ) + ops.asum((ey * ey * gt.w_hp).astype(err.dtype))
+            else:
+                grad_sq[var] = jnp.asarray(0.0, dtype=err.dtype)
+            continue
         h_sq[var] = inner_products.inner_H(ops, g, err, err)
         if var in integral_vars:
             gx_n, gy_n = stencils.grad_H(ops, g, getattr(s, var))
@@ -55,6 +93,16 @@ def _collect_errors(g: Grid, ops: Ops, mms_case, s: State, t, variable_names, in
         else:
             grad_sq[var] = jnp.asarray(0.0, dtype=err.dtype)
     return h_sq, grad_sq
+
+
+def _tail_grid(g: Grid, dtype) -> Grid:
+    """Downcast every floating plane of the Grid pytree (geometry unchanged)."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        g,
+    )
 
 
 def _scan_step(integrator, g, ops, s, t, dt):
@@ -92,6 +140,7 @@ def run_simulation_collect_data(
     traced_dt: bool = False,
     pad_steps: Optional[int] = None,
     traced_grid: Optional[bool] = None,
+    collect_tail: Optional[str] = None,
 ):
     """Run from t0 to Tf collecting per-step error norms.
 
@@ -129,6 +178,15 @@ def run_simulation_collect_data(
     """
     if traced_grid is None:
         traced_grid = os.environ.get("NA_DD_TPU_TRACED_GRID", "0") == "1"
+    if collect_tail is None:
+        collect_tail = os.environ.get("NA_DD_TPU_COLLECT_TAIL", "") or None
+    if collect_tail is not None and collect_tail not in ("f32", "float32"):
+        raise ValueError(
+            f"collect_tail must be None or 'f32'; got {collect_tail!r}"
+        )
+    # only meaningful when the ambient dtype is wider than the tail
+    if collect_tail and jnp.finfo(jnp.result_type(float)).bits <= 32:
+        collect_tail = None
     num_steps = math.ceil((Tf - t0) / dt)
     dt_adj = (Tf - t0) / num_steps
     variable_names = tuple(variable_names)
@@ -155,24 +213,30 @@ def run_simulation_collect_data(
         variable_names,
         integral_vars,
         traced_grid,
+        collect_tail,
     )
     simulate = cache.get(key)
     if simulate is None:
 
-        def collect(g, s, t):
+        def collect(g, gt, s, t):
             return _collect_errors(
-                g, ops, exact_sol_pack, s, t, variable_names, integral_vars
+                g, ops, exact_sol_pack, s, t, variable_names, integral_vars,
+                tail_grid=gt,
             )
 
         def simulate_impl_g(g, s0, dt_run):
+            # built OUTSIDE the scan so the downcast of the metric planes is
+            # loop-invariant (baked mode constant-folds it entirely)
+            gt = _tail_grid(g, jnp.float32) if collect_tail else None
+
             def body(carry, k):
                 s = carry
                 t_k = t0 + k * dt_run
                 s1, small = _scan_step(integrator, g, ops, s, t_k, dt_run)
-                h_sq, grad_sq = collect(g, s1, t_k + dt_run)
+                h_sq, grad_sq = collect(g, gt, s1, t_k + dt_run)
                 return s1, (h_sq, grad_sq, small)
 
-            h0, g0 = collect(g, s0, t0)
+            h0, g0 = collect(g, gt, s0, t0)
             ks = jnp.arange(P, dtype=jnp.result_type(float))
             _s_final, (h_sq, grad_sq, small) = jax.lax.scan(body, s0, ks)
             # Pack all outputs into THREE device buffers: through a tunneled
@@ -390,6 +454,7 @@ class MMSTrial:
         traced_dt: bool = False,
         pad_steps: Optional[int] = None,
         traced_grid: Optional[bool] = None,
+        collect_tail: Optional[str] = None,
     ) -> NumericalErrorSummary:
         series, dt_adj = run_simulation_collect_data(
             grid=self.grid,
@@ -405,6 +470,7 @@ class MMSTrial:
             traced_dt=traced_dt,
             pad_steps=pad_steps,
             traced_grid=traced_grid,
+            collect_tail=collect_tail,
         )
         return NumericalErrorSummary(
             dt_used=dt_adj,

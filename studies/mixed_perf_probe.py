@@ -79,10 +79,13 @@ def trial_for(**kw):
     return _make_trial(mms_cases.MMSCasePol, N, ETA, mc=mc, **args)
 
 
-def run_errors(label, **kw):
+def run_errors(label, run_kw=None, **kw):
     trial = trial_for(**kw)
     dt = (1.0 / N) ** 1.5
-    first, best, s = _steady(lambda: trial.run_for_errors(Tf=TF, dt=dt), label)
+    rkw = run_kw or {}
+    first, best, s = _steady(
+        lambda: trial.run_for_errors(Tf=TF, dt=dt, **rkw), label
+    )
     err = float(s.overall_combined_error)
     print(f"[probe {label:32s}] error={err:.10e}", flush=True)
     results[label] = {"first_s": first, "steady_s": best, "error": err}
@@ -131,6 +134,12 @@ def main():
     run_sim_only("mixed_sim_r1", mixed_refine=1, **mixed)
     run_sim_only("mixed_sim_r1_nocheck", mixed_refine=1,
                  mixed_final_check=False, **mixed)
+    # f32 norm/gradient tail on the error collection (f64 subtraction kept)
+    run_errors("mixed_errors_r1_tail", run_kw=dict(collect_tail="f32"),
+               mixed_refine=1, **mixed)
+    run_errors("mixed_errors_r1_nocheck_tail",
+               run_kw=dict(collect_tail="f32"),
+               mixed_refine=1, mixed_final_check=False, **mixed)
     run_errors("f64_errors")
     run_sim_only("f64_sim")
 
@@ -155,6 +164,76 @@ def main():
     ts = jnp.linspace(0.0, TF, num)
     first, best, _ = _steady(lambda: collect_scan(s0, ts), "collect_scan_x41")
     results["collect_scan_x41"] = {"first_s": first, "steady_s": best}
+
+    # --- component scans: where does the f64 simulate-only budget go? ---
+    field = trial.integrator.semi_discrete_field
+    forcing = trial.forcing_terms
+
+    @jax.jit
+    def forcing_scan(ts):
+        """5 forcing-term evals per t (the step needs them at t0 AND t1)."""
+        def body(acc, t):
+            tot = (
+                forcing.fT(g, LOCAL_OPS, t) + forcing.fcl(g, LOCAL_OPS, t)
+                + forcing.fcd(g, LOCAL_OPS, t) + forcing.fcp(g, LOCAL_OPS, t)
+                + forcing.fcs(g, LOCAL_OPS, t)
+            )
+            return acc + jnp.max(jnp.abs(tot)), None
+        acc, _ = jax.lax.scan(body, jnp.asarray(0.0), ts)
+        return acc
+
+    ts = jnp.linspace(0.0, TF, num)
+    first, best, _ = _steady(lambda: forcing_scan(ts), "forcing5_scan_x41")
+    results["forcing5_scan_x41"] = {"first_s": first, "steady_s": best}
+
+    @jax.jit
+    def fields_scan(s, ts):
+        """FT+Fcl+Fcd at a frozen state (the Newton sweep's primal evals)."""
+        def body(acc, t):
+            tot = (
+                field.FT(g, LOCAL_OPS, s, t) + field.Fcl(g, LOCAL_OPS, s, t)
+                + field.Fcd(g, LOCAL_OPS, s, t)
+            )
+            return acc + jnp.max(jnp.abs(tot)), None
+        acc, _ = jax.lax.scan(body, jnp.asarray(0.0), ts)
+        return acc
+
+    first, best, _ = _steady(lambda: fields_scan(s0, ts), "fields3_scan_x41")
+    results["fields3_scan_x41"] = {"first_s": first, "steady_s": best}
+
+    @jax.jit
+    def planes_scan(s, ts):
+        """The three Newton self-Jacobian plane assemblies per sweep."""
+        dt_l = TF / num
+        def body(acc, t):
+            sT = s._replace(T=s.T + 1e-12 * t)  # defeat loop-invariant hoist
+            stT = trial.integrator._newton_planes(
+                g, LOCAL_OPS, field.stencil_dFT_dT(g, LOCAL_OPS, sT), dt_l
+            )
+            stcl = trial.integrator._newton_planes(
+                g, LOCAL_OPS, field.stencil_dFcl_dcl(g, LOCAL_OPS, sT), dt_l
+            )
+            stcd = trial.integrator._newton_planes(
+                g, LOCAL_OPS, field.stencil_dFcd_dcd(g, LOCAL_OPS, sT), dt_l
+            )
+            return acc + jnp.max(jnp.abs(stT.c0 + stcl.c0 + stcd.c0)), None
+        acc, _ = jax.lax.scan(body, jnp.asarray(0.0), ts)
+        return acc
+
+    first, best, _ = _steady(lambda: planes_scan(s0, ts), "planes3_scan_x41")
+    results["planes3_scan_x41"] = {"first_s": first, "steady_s": best}
+
+    @jax.jit
+    def exact_scan(ts):
+        """The exact-MMS-state evaluations alone (5 fields per t)."""
+        def body(acc, t):
+            ex = state_from_mms_when(mms_case=trial.mms_case, t=t, grid=g)
+            return acc + jnp.max(jnp.abs(ex.T + ex.cl + ex.cd + ex.cp + ex.cs)), None
+        acc, _ = jax.lax.scan(body, jnp.asarray(0.0), ts)
+        return acc
+
+    first, best, _ = _steady(lambda: exact_scan(ts), "exact5_scan_x41")
+    results["exact5_scan_x41"] = {"first_s": first, "steady_s": best}
 
     # --- micro: one f64-emulated plane apply x (3 solves * num steps) ---
     field = trial.integrator.semi_discrete_field

@@ -136,3 +136,26 @@ def test_dt_adjustment_divides_exactly():
     assert len(series.t) == 5
     assert series.t[-1] == pytest.approx(0.01)
     assert series.h_norm_sq_errors["T"].shape == (5,)
+
+
+def test_collect_tail_f32_inside_parity_gate():
+    """collect_tail='f32' (norm/gradient tail of the per-step error
+    collection at f32, f64 subtraction kept) must stay deep inside the 1e-8
+    relative parity gate: the downcast perturbs each error element by a
+    relative ~eps(f32), incoherent across the grid (measured 1.6e-9 relative
+    on CPU at N=16, ~2e-9 on the TPU headline level).  Also: a no-op knob in
+    an f32-ambient run (nothing narrower to downcast to)."""
+    from na_dd_tpu.harness.studies import _make_trial, study_consts
+    from na_dd_tpu.mms import cases as mms_cases
+
+    t = _make_trial(
+        mms_cases.MMSCasePol, 16, 50.0, mc=study_consts("pol"), krylov_unroll=8
+    )
+    s_ref = t.run_for_errors(Tf=0.01, dt=5e-4)
+    s_tail = t.run_for_errors(Tf=0.01, dt=5e-4, collect_tail="f32")
+    e_ref = float(s_ref.overall_combined_error)
+    e_tail = float(s_tail.overall_combined_error)
+    assert abs(e_tail - e_ref) / e_ref < 1e-7, (e_tail, e_ref)
+
+    with pytest.raises(ValueError):
+        t.run_for_errors(Tf=0.01, dt=5e-4, collect_tail="bf16")
