@@ -49,6 +49,19 @@ MODES = {
               "NA_DD_TPU_PRECISION": "mixed"},
     "mixed_pallas": {"NA_DD_TPU_X64": "1", "NA_DD_TPU_STENCIL": "pallas",
                      "NA_DD_TPU_PRECISION": "mixed"},
+    # production full-accuracy mode: mixed + pallas with every measured-
+    # redundant f64 byte removed — one refinement pass (the accuracy floor:
+    # refine=0 measured 2.3e-2 relative off the reference error, refine=1
+    # exact), the diagnostic-only final residual skipped
+    # (mixed_final_check=False; solution bit-identical), and the f32
+    # norm/gradient tail on the per-step error collection (measured ~2e-9
+    # relative on the final error vs the 1e-8 parity gate).  See
+    # studies/mixed_perf_probe.py + studies/results/mixed_perf_probe.json.
+    "mixed_fast": {"NA_DD_TPU_X64": "1", "NA_DD_TPU_STENCIL": "pallas",
+                   "NA_DD_TPU_PRECISION": "mixed",
+                   "NA_DD_TPU_MIXED_REFINE": "1",
+                   "NA_DD_TPU_MIXED_CHECK": "0",
+                   "NA_DD_TPU_COLLECT_TAIL": "f32"},
 }
 
 
@@ -166,6 +179,10 @@ def run_single():
         ("f64" if x64 else "f32")
         + ("" if stencil_backend == "jnp" else f"+{stencil_backend}")
         + ("" if precision == "full" else f"+{precision}")
+        + ("+r" + os.environ["NA_DD_TPU_MIXED_REFINE"]
+           if os.environ.get("NA_DD_TPU_MIXED_REFINE") else "")
+        + ("+nocheck" if os.environ.get("NA_DD_TPU_MIXED_CHECK") == "0" else "")
+        + ("+tail" if os.environ.get("NA_DD_TPU_COLLECT_TAIL") else "")
     )
     print(
         f"[bench] N={N} dt={dt:.3e} steps={round(Tf/summary.dt_used)} mode={mode} "
@@ -197,7 +214,7 @@ def main():
     children run strictly sequentially and exit cleanly between modes.
     """
     selected = os.environ.get(
-        "BENCH_MODES", "f64,f32,f32_pallas,mixed,mixed_pallas"
+        "BENCH_MODES", "f64,f32,f32_pallas,mixed,mixed_pallas,mixed_fast"
     ).split(",")
     results = {}
     consecutive_timeouts = 0

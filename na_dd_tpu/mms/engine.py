@@ -15,6 +15,7 @@ cases) is numerically stubbed the same way as the reference
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict
 
 import jax
@@ -64,6 +65,95 @@ def _wrap_shape(raw: Callable) -> Callable:
     return wrapped
 
 
+def _separate_t_xy(expr, t_var, x_var, y_var):
+    """2-D wrapper over :func:`_separate_t_space` (kept for callers/tests)."""
+    return _separate_t_space(expr, t_var, (x_var, y_var))
+
+
+def _separate_t_space(expr, t_var, space_vars):
+    """Try to write ``expr`` as Σ_k f_k(t)·g_k(space).
+
+    Returns a list of ``(t_factor, xy_factor)`` pairs with DISTINCT t-factors
+    (spatial parts of equal t-factors merged symbolically), or None when any
+    additive term mixes t and x/y inside one factor — e.g. the
+    moving-Gaussian peaks case's ``exp(-((x - x0(t))² + …))`` — in which
+    case the caller falls back to the full-grid evaluation.
+
+    Deliberately NO ``sympy.expand()``: the study solutions carry exact
+    zeros through FACTORED spatial forms (``x(1-x)y(1-y)`` is exactly 0 on
+    the boundary), and expansion replaces them with ±1-ulp cancellation
+    residues — which flips ``Heaviside(cs)`` at zero-crossing/boundary nodes
+    (caught by tests/test_forcing.py::test_fcd_heaviside_factor).  Term-wise
+    ``as_independent`` on the unexpanded expression keeps every spatial
+    factor bit-compatible with the full evaluation wherever it is exactly
+    zero.
+    """
+    try:
+        space = set(space_vars)
+        groups: dict = {}
+        order = []
+        for term in sympy.Add.make_args(expr):
+            xy_part, t_part = term.as_independent(t_var)
+            if t_part.free_symbols & space:
+                return None
+            if t_part in groups:
+                groups[t_part] = groups[t_part] + xy_part
+            else:
+                groups[t_part] = xy_part
+                order.append(t_part)
+        return [(k, groups[k]) for k in order]
+    except Exception:  # pragma: no cover - sympy corner cases → fallback
+        return None
+
+
+def _wrap_separable(pairs, t_var, space_vars) -> Callable:
+    """Separable evaluation Σ_k f_k(t)·g_k(space) of a packed expression.
+
+    Why this exists (TPU): :func:`_wrap_shape` evaluates the WHOLE expression
+    with a grid-shaped time array, so every t-dependent transcendental —
+    mathematically a scalar, e.g. ``cos(t·π/2)`` — runs as a full-grid
+    f64-emulated transcendental on every call.  Measured on the headline
+    benchmark level this made per-step error collection + forcing evaluation
+    ~40% of the mixed-mode step budget (studies/mixed_perf_probe.py).  Here
+    the t-factors are evaluated on a 2-element array (same accurate-vector-
+    path trick as :func:`_array_time`, at 2 lanes instead of N²) and the
+    t-INDEPENDENT spatial factors are pure functions of the coordinate
+    grids, which XLA hoists out of the time scan (and constant-folds
+    entirely when the grid is baked) — per call the expression costs k
+    scalar transcendentals + k grid multiply-adds.
+
+    Values differ from the unseparated path only by reassociation of the
+    symbolic expansion (~1 ulp; the parity gates are 1e-8 relative).
+    NA_DD_TPU_SEPARABLE=0 restores the full-grid path for A/B.
+    """
+    t_fns = [
+        sympy.lambdify([t_var], tp, modules=_JAX_MODULES) for tp, _ in pairs
+    ]
+    xy_fns = [
+        sympy.lambdify(list(space_vars), xp, modules=_JAX_MODULES)
+        for _, xp in pairs
+    ]
+
+    def wrapped(t_num, *coords):
+        shape = jnp.shape(coords[0])
+        dtype = jnp.result_type(float)
+        t_arr = jax.lax.optimization_barrier(
+            jnp.full((2,), jnp.asarray(t_num, dtype=dtype), dtype=dtype)
+        )
+        acc = jnp.zeros(shape, dtype=dtype)
+        for tf, xyf in zip(t_fns, xy_fns):
+            ft = jnp.broadcast_to(
+                jnp.asarray(tf(t_arr), dtype=dtype), (2,)
+            )[0]
+            gk = jnp.broadcast_to(
+                jnp.asarray(xyf(*coords), dtype=dtype), shape
+            )
+            acc = acc + ft * gk
+        return acc
+
+    return wrapped
+
+
 def pack_symbolic_txy_with_derivatives(
     *,
     base_expr: sympy.Expr,
@@ -90,9 +180,27 @@ def pack_symbolic_txy_with_derivatives(
 
     out = {}
     for name, expr in exprs.items():
-        raw = sympy.lambdify([t_var, x_var, y_var], expr, modules=_JAX_MODULES)
-        out[name] = _wrap_shape(raw)
+        pairs = _maybe_separable(expr, t_var, (x_var, y_var))
+        if pairs is not None:
+            out[name] = _wrap_separable(pairs, t_var, (x_var, y_var))
+        else:
+            raw = sympy.lambdify(
+                [t_var, x_var, y_var], expr, modules=_JAX_MODULES
+            )
+            out[name] = _wrap_shape(raw)
     return out
+
+
+def _maybe_separable(expr, t_var, space_vars):
+    """The shared gate: env kill-switch + a cap on the number of distinct
+    t-factors (a pathological split would trade one fused evaluation for an
+    unrolled chain of k multiply-adds; no study case exceeds 3)."""
+    if os.environ.get("NA_DD_TPU_SEPARABLE", "1") == "0":
+        return None
+    pairs = _separate_t_space(expr, t_var, space_vars)
+    if pairs is not None and len(pairs) <= 32:
+        return pairs
+    return None
 
 
 class MMSCaseBase:

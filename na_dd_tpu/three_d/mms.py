@@ -18,7 +18,14 @@ import jax.numpy as jnp
 import sympy
 
 from na_dd_tpu.core.state import State
-from na_dd_tpu.mms.engine import _JAX_MODULES, t_sym, x_sym, y_sym
+from na_dd_tpu.mms.engine import (
+    _JAX_MODULES,
+    _maybe_separable,
+    _wrap_separable,
+    t_sym,
+    x_sym,
+    y_sym,
+)
 from na_dd_tpu.three_d.grid import Grid3
 
 #: Third spatial symbol (t/x/y are shared with the 2-D engine).
@@ -69,8 +76,18 @@ def pack_symbolic_txyz_with_derivatives(
 
     out = {}
     for name, expr in exprs.items():
-        raw = sympy.lambdify([t_var, x_var, y_var, z_var], expr, modules=_JAX_MODULES)
-        out[name] = _wrap_shape3(raw)
+        # separable Σ f_k(t)·g_k(x,y,z) fast path — same machinery and
+        # rationale as the 2-D engine (na_dd_tpu/mms/engine.py): t-factors
+        # on the tiny accurate-vector path, t-independent spatial factors
+        # hoisted out of the time scan.  Falls back per-expression.
+        pairs = _maybe_separable(expr, t_var, (x_var, y_var, z_var))
+        if pairs is not None:
+            out[name] = _wrap_separable(pairs, t_var, (x_var, y_var, z_var))
+        else:
+            raw = sympy.lambdify(
+                [t_var, x_var, y_var, z_var], expr, modules=_JAX_MODULES
+            )
+            out[name] = _wrap_shape3(raw)
     return out
 
 

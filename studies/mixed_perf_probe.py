@@ -54,6 +54,38 @@ REPEATS = int(os.environ.get("PROBE_REPEATS", "5"))
 
 results = {}
 
+#: comma-separated substrings: only rows whose label matches one run
+#: (PROBE_ONLY=tail,forcing); empty = all rows.  Completed rows are merged
+#: into the archive INCREMENTALLY so an endpoint compile stall loses nothing.
+ONLY = [s for s in os.environ.get("PROBE_ONLY", "").split(",") if s]
+
+_OUT_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "results",
+    "mixed_perf_probe.json",
+)
+
+
+def _selected(label):
+    return not ONLY or any(s in label for s in ONLY)
+
+
+def _archive():
+    merged = {}
+    if os.path.exists(_OUT_PATH):
+        try:
+            with open(_OUT_PATH) as f:
+                merged = json.load(f).get("rows", {})
+        except Exception:
+            merged = {}
+    merged.update(results)
+    out = {
+        "N": N, "steps": math.ceil(TF / (1.0 / N) ** 1.5), "repeats": REPEATS,
+        "rows": merged,
+        "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    with open(_OUT_PATH, "w") as f:
+        json.dump(out, f, indent=1)
+
 
 def _steady(fn, label):
     """First call compiles; steady = min over REPEATS (tunnel jitter)."""
@@ -80,6 +112,8 @@ def trial_for(**kw):
 
 
 def run_errors(label, run_kw=None, **kw):
+    if not _selected(label):
+        return None
     trial = trial_for(**kw)
     dt = (1.0 / N) ** 1.5
     rkw = run_kw or {}
@@ -89,6 +123,7 @@ def run_errors(label, run_kw=None, **kw):
     err = float(s.overall_combined_error)
     print(f"[probe {label:32s}] error={err:.10e}", flush=True)
     results[label] = {"first_s": first, "steady_s": best, "error": err}
+    _archive()
     return trial
 
 
@@ -96,6 +131,8 @@ def run_sim_only(label, **kw):
     """Whole-run scan WITHOUT the per-step error collection — the jit is
     built ONCE so warm calls hit the in-process executable cache (a fresh
     closure per call would re-trace every time)."""
+    if not _selected(label):
+        return None
     trial = trial_for(**kw)
     dt = (1.0 / N) ** 1.5
     num = math.ceil(TF / dt)
@@ -162,8 +199,10 @@ def main():
         return acc
 
     ts = jnp.linspace(0.0, TF, num)
-    first, best, _ = _steady(lambda: collect_scan(s0, ts), "collect_scan_x41")
-    results["collect_scan_x41"] = {"first_s": first, "steady_s": best}
+    if _selected("collect_scan_x41"):
+        first, best, _ = _steady(lambda: collect_scan(s0, ts), "collect_scan_x41")
+        results["collect_scan_x41"] = {"first_s": first, "steady_s": best}
+        _archive()
 
     # --- component scans: where does the f64 simulate-only budget go? ---
     field = trial.integrator.semi_discrete_field
@@ -183,8 +222,10 @@ def main():
         return acc
 
     ts = jnp.linspace(0.0, TF, num)
-    first, best, _ = _steady(lambda: forcing_scan(ts), "forcing5_scan_x41")
-    results["forcing5_scan_x41"] = {"first_s": first, "steady_s": best}
+    if _selected("forcing5_scan_x41"):
+        first, best, _ = _steady(lambda: forcing_scan(ts), "forcing5_scan_x41")
+        results["forcing5_scan_x41"] = {"first_s": first, "steady_s": best}
+        _archive()
 
     @jax.jit
     def fields_scan(s, ts):
@@ -198,8 +239,10 @@ def main():
         acc, _ = jax.lax.scan(body, jnp.asarray(0.0), ts)
         return acc
 
-    first, best, _ = _steady(lambda: fields_scan(s0, ts), "fields3_scan_x41")
-    results["fields3_scan_x41"] = {"first_s": first, "steady_s": best}
+    if _selected("fields3_scan_x41"):
+        first, best, _ = _steady(lambda: fields_scan(s0, ts), "fields3_scan_x41")
+        results["fields3_scan_x41"] = {"first_s": first, "steady_s": best}
+        _archive()
 
     @jax.jit
     def planes_scan(s, ts):
@@ -220,8 +263,10 @@ def main():
         acc, _ = jax.lax.scan(body, jnp.asarray(0.0), ts)
         return acc
 
-    first, best, _ = _steady(lambda: planes_scan(s0, ts), "planes3_scan_x41")
-    results["planes3_scan_x41"] = {"first_s": first, "steady_s": best}
+    if _selected("planes3_scan_x41"):
+        first, best, _ = _steady(lambda: planes_scan(s0, ts), "planes3_scan_x41")
+        results["planes3_scan_x41"] = {"first_s": first, "steady_s": best}
+        _archive()
 
     @jax.jit
     def exact_scan(ts):
@@ -232,8 +277,10 @@ def main():
         acc, _ = jax.lax.scan(body, jnp.asarray(0.0), ts)
         return acc
 
-    first, best, _ = _steady(lambda: exact_scan(ts), "exact5_scan_x41")
-    results["exact5_scan_x41"] = {"first_s": first, "steady_s": best}
+    if _selected("exact5_scan_x41"):
+        first, best, _ = _steady(lambda: exact_scan(ts), "exact5_scan_x41")
+        results["exact5_scan_x41"] = {"first_s": first, "steady_s": best}
+        _archive()
 
     # --- micro: one f64-emulated plane apply x (3 solves * num steps) ---
     field = trial.integrator.semi_discrete_field
@@ -251,8 +298,10 @@ def main():
         x, _ = jax.lax.scan(body, x0, None, length=reps)
         return x
 
-    first, best, _ = _steady(lambda: apply64_scan(s0.T), f"apply64_x{reps}")
-    results[f"apply64_x{reps}"] = {"first_s": first, "steady_s": best}
+    if _selected("apply64"):
+        first, best, _ = _steady(lambda: apply64_scan(s0.T), f"apply64_x{reps}")
+        results[f"apply64_x{reps}"] = {"first_s": first, "steady_s": best}
+        _archive()
 
     # --- micro: one fused f32 kernel solve x (3 * num) ---
     if jax.default_backend() != "cpu":
@@ -269,7 +318,7 @@ def main():
             mask32 > 0, 1.0 / jnp.where(st32.c0 == 0, 1.0, st32.c0), 0.0
         ).astype(f32)
         unroll = trial.integrator.krylov_unroll
-        if fused_solve_fits(s0.T.shape, f32):
+        if fused_solve_fits(s0.T.shape, f32) and _selected("fused32"):
             @jax.jit
             def fsolve_scan(b0):
                 def body(b, _):
@@ -287,34 +336,24 @@ def main():
             )
             results[f"fused32_solve_x{reps}"] = {"first_s": first, "steady_s": best}
 
-    # --- budget table ---
-    r1 = results["mixed_errors_r1"]["steady_s"]
-    sim = results["mixed_sim_r1"]["steady_s"]
+    # --- budget table (rows may be absent under PROBE_ONLY) ---
     print("\n--- budget (steady, per run of %d steps) ---" % num, flush=True)
-    print(f"total mixed_errors_r1   : {r1:.4f}s")
-    print(f"  error collection      : {r1 - sim:.4f}s "
-          f"(isolated scan: {results['collect_scan_x41']['steady_s']:.4f}s)")
-    nock = results["mixed_errors_r1_nocheck"]["steady_s"]
-    print(f"  final-check diagnostics: {r1 - nock:.4f}s")
-    ap = results[f"apply64_x{reps}"]["steady_s"]
-    print(f"  f64 applies (micro, {reps}x): {ap:.4f}s")
-    if f"fused32_solve_x{reps}" in results:
-        fs = results[f"fused32_solve_x{reps}"]["steady_s"]
-        print(f"  fused f32 solves (micro, {reps}x): {fs:.4f}s")
-    print(f"  simulate-only remainder: {sim:.4f}s")
+    sec = lambda k: results.get(k, {}).get("steady_s")  # noqa: E731
+    r1, sim = sec("mixed_errors_r1"), sec("mixed_sim_r1")
+    if r1 is not None:
+        print(f"total mixed_errors_r1   : {r1:.4f}s")
+    if r1 is not None and sim is not None:
+        print(f"  error collection      : {r1 - sim:.4f}s")
+        print(f"  simulate-only remainder: {sim:.4f}s")
+    for k, v in sorted(results.items()):
+        if "steady_s" in v:
+            line = f"  {k:32s}: {v['steady_s']:.4f}s"
+            if "error" in v:
+                line += f"  error={v['error']:.6e}"
+            print(line)
 
-    out = {
-        "N": N, "steps": num, "device": dev, "repeats": REPEATS,
-        "rows": results,
-        "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
-    }
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "results",
-        "mixed_perf_probe.json",
-    )
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
-    print(f"archived: {path}", flush=True)
+    _archive()
+    print(f"archived: {_OUT_PATH}", flush=True)
 
 
 if __name__ == "__main__":
