@@ -49,6 +49,91 @@ class ForcingBase:
         }
 
 
+class ForcingFromTimeGrid(ForcingBase):
+    """Forcing pre-tabulated on the uniform time grid ``t0 + j·dt``.
+
+    Every production integrator evaluates the (state-INDEPENDENT) forcing
+    terms only at on-grid times t_k and t_{k+1}, yet re-computes them inside
+    every step of the time scan — on the TPU f64-emulation backend those
+    lambdified transcendental expressions were measured at ~32 ms of the
+    85 ms headline mixed-mode run (studies/mixed_perf_probe.py, row
+    forcing5_scan_x41; batching them in-program does NOT help — the cost is
+    genuine emulated-f64 compute, so the only win is to stop paying it per
+    run).  This wrapper holds device-resident tables of all five terms,
+    built ONCE per (t0, dt, num, grid) with one vmapped jit, and serves
+    ``f(t)`` as a dynamic index at ``j = round((t - t0)/dt)``.
+
+    The tables are NOT baked into the consumer program as constants — the
+    harness passes them as jit ARGUMENTS and calls :meth:`bind` at trace
+    time (embedding ~100 MB of dense constants in the module would bloat
+    every compile and the persistent cache: the traced-grid lesson,
+    harness/trial.py).  Values are the inner forcing's own outputs, so
+    accuracy differences vs in-step evaluation are at the program-shape
+    emulation-noise level (gated by the mixed_fast bench A/B).
+    """
+
+    _KEYS = ("fcp", "fT", "fcl", "fcd", "fcs")
+
+    def __init__(self, inner, *, t0: float, dt: float, num: int):
+        self.inner = inner
+        self.t0 = float(t0)
+        self.dt = float(dt)
+        self.num = int(num)
+        self._tables = None
+
+    def build_tables(self, g: Grid, ops: Ops):
+        """One-time eager device evaluation of all five terms at the num+1
+        grid times (one vmapped jit)."""
+        import jax
+
+        ts = self.t0 + self.dt * jnp.arange(
+            self.num + 1, dtype=jnp.result_type(float)
+        )
+        fn = jax.jit(
+            jax.vmap(
+                lambda tt: {
+                    k: getattr(self.inner, k)(g, ops, tt) for k in self._KEYS
+                }
+            )
+        )
+        return fn(ts)
+
+    def bind(self, tables) -> None:
+        """Attach (possibly traced) tables; called by the harness at trace
+        time so the tables enter the program as arguments."""
+        self._tables = tables
+
+    def _lookup(self, key, t):
+        import jax
+
+        if self._tables is None:
+            raise RuntimeError(
+                "ForcingFromTimeGrid used before bind() — the harness must "
+                "pass the tables into the traced program first"
+            )
+        j = jnp.clip(
+            jnp.round((t - self.t0) / self.dt).astype(jnp.int32), 0, self.num
+        )
+        return jax.lax.dynamic_index_in_dim(
+            self._tables[key], j, axis=0, keepdims=False
+        )
+
+    def fcp(self, g, ops, t):
+        return self._lookup("fcp", t)
+
+    def fT(self, g, ops, t):
+        return self._lookup("fT", t)
+
+    def fcl(self, g, ops, t):
+        return self._lookup("fcl", t)
+
+    def fcd(self, g, ops, t):
+        return self._lookup("fcd", t)
+
+    def fcs(self, g, ops, t):
+        return self._lookup("fcs", t)
+
+
 class NoForcing(ForcingBase):
     """All-zero forcing (reference ``NoForcingTerms``, src/prob1base.py:852-869)."""
 

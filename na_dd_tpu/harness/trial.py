@@ -40,6 +40,40 @@ class ErrorTimeSeries(NamedTuple):
     grad_h_norm_p_sq_errors: Dict[str, np.ndarray]  # var -> (K+1,)
 
 
+def _error_norms(
+    g: Grid, ops: Ops, s: State, exact: State, variable_names, integral_vars,
+    tail_grid: Optional[Grid] = None,
+):
+    """Squared error norms of ``s`` against a (however-obtained) exact state
+    — the norm half of :func:`_collect_errors`, reused by the
+    precomputed-exact fast path."""
+    h_sq = {}
+    grad_sq = {}
+    for var in variable_names:
+        err = getattr(s, var) - getattr(exact, var)
+        if tail_grid is not None:
+            gt = tail_grid
+            e = err.astype(gt.w_H.dtype)
+            h_sq[var] = ops.asum((e * e * gt.w_H).astype(err.dtype))
+            if var in integral_vars:
+                ex, ey = stencils.grad_H(ops, gt, e)
+                grad_sq[var] = ops.asum(
+                    (ex * ex * gt.w_pk).astype(err.dtype)
+                ) + ops.asum((ey * ey * gt.w_hp).astype(err.dtype))
+            else:
+                grad_sq[var] = jnp.asarray(0.0, dtype=err.dtype)
+            continue
+        h_sq[var] = inner_products.inner_H(ops, g, err, err)
+        if var in integral_vars:
+            gx_n, gy_n = stencils.grad_H(ops, g, getattr(s, var))
+            gx_e, gy_e = stencils.grad_H(ops, g, getattr(exact, var))
+            ex, ey = gx_n - gx_e, gy_n - gy_e
+            grad_sq[var] = inner_products.inner_p(ops, g, ex, ey, ex, ey)
+        else:
+            grad_sq[var] = jnp.asarray(0.0, dtype=err.dtype)
+    return h_sq, grad_sq
+
+
 def _collect_errors(
     g: Grid, ops: Ops, mms_case, s: State, t, variable_names, integral_vars,
     tail_grid: Optional[Grid] = None,
@@ -68,31 +102,9 @@ def _collect_errors(
     is the numerically safer one at tail precision.
     """
     exact = state_from_mms_when(mms_case=mms_case, t=t, grid=g)
-    h_sq = {}
-    grad_sq = {}
-    for var in variable_names:
-        err = getattr(s, var) - getattr(exact, var)
-        if tail_grid is not None:
-            gt = tail_grid
-            e = err.astype(gt.w_H.dtype)
-            h_sq[var] = ops.asum((e * e * gt.w_H).astype(err.dtype))
-            if var in integral_vars:
-                ex, ey = stencils.grad_H(ops, gt, e)
-                grad_sq[var] = ops.asum(
-                    (ex * ex * gt.w_pk).astype(err.dtype)
-                ) + ops.asum((ey * ey * gt.w_hp).astype(err.dtype))
-            else:
-                grad_sq[var] = jnp.asarray(0.0, dtype=err.dtype)
-            continue
-        h_sq[var] = inner_products.inner_H(ops, g, err, err)
-        if var in integral_vars:
-            gx_n, gy_n = stencils.grad_H(ops, g, getattr(s, var))
-            gx_e, gy_e = stencils.grad_H(ops, g, getattr(exact, var))
-            ex, ey = gx_n - gx_e, gy_n - gy_e
-            grad_sq[var] = inner_products.inner_p(ops, g, ex, ey, ex, ey)
-        else:
-            grad_sq[var] = jnp.asarray(0.0, dtype=err.dtype)
-    return h_sq, grad_sq
+    return _error_norms(
+        g, ops, s, exact, variable_names, integral_vars, tail_grid=tail_grid
+    )
 
 
 def _tail_grid(g: Grid, dtype) -> Grid:
@@ -141,6 +153,7 @@ def run_simulation_collect_data(
     pad_steps: Optional[int] = None,
     traced_grid: Optional[bool] = None,
     collect_tail: Optional[str] = None,
+    collect_precompute: Optional[bool] = None,
 ):
     """Run from t0 to Tf collecting per-step error norms.
 
@@ -187,12 +200,28 @@ def run_simulation_collect_data(
     # only meaningful when the ambient dtype is wider than the tail
     if collect_tail and jnp.finfo(jnp.result_type(float)).bits <= 32:
         collect_tail = None
+    if collect_precompute is None:
+        collect_precompute = os.environ.get("NA_DD_TPU_TIME_TABLES", "") == "1"
+    if collect_precompute and (traced_dt or traced_grid):
+        # table construction needs concrete times/grid; the compile-sharing
+        # ladder modes keep the in-scan evaluation
+        collect_precompute = False
     num_steps = math.ceil((Tf - t0) / dt)
     dt_adj = (Tf - t0) / num_steps
     variable_names = tuple(variable_names)
     integral_vars = tuple(integral_vars)
     P = int(pad_steps) if pad_steps is not None else num_steps
     assert P >= num_steps, f"pad_steps={P} < num_steps={num_steps}"
+    if collect_precompute:
+        # the exact-state AND forcing tables live on device for the whole
+        # run: 2 x 5 fields x (P+1) steps; cap well below HBM (v5e: 16 GB)
+        itemsize = jnp.dtype(jnp.result_type(float)).itemsize
+        est_bytes = 2 * (P + 1) * 5 * int(np.prod(grid.xx.shape)) * itemsize
+        budget = int(
+            float(os.environ.get("NA_DD_TPU_TIME_TABLES_BUDGET", "4e9"))
+        )
+        if est_bytes > budget:
+            collect_precompute = False
 
     # Memoize the traced+compiled simulation on the integrator.  In the
     # default (baked) mode the key includes the *values* of t0/dt — they are
@@ -214,9 +243,10 @@ def run_simulation_collect_data(
         integral_vars,
         traced_grid,
         collect_tail,
+        collect_precompute,
     )
-    simulate = cache.get(key)
-    if simulate is None:
+    entry = cache.get(key)
+    if entry is None:
 
         def collect(g, gt, s, t):
             return _collect_errors(
@@ -224,21 +254,83 @@ def run_simulation_collect_data(
                 tail_grid=gt,
             )
 
-        def simulate_impl_g(g, s0, dt_run):
+        # --- time tables (collect_precompute): evaluate the exact MMS state
+        # AND the state-independent forcing terms at ALL on-grid times ONCE,
+        # eagerly, at program-build time; the steady path then only READS
+        # device-resident tables.  Measured on the headline level
+        # (studies/mixed_perf_probe.py): the per-step exact evals are ~24 ms
+        # and the forcing evals ~32 ms of the 85 ms mixed run, the cost is
+        # genuine f64-emulated compute (batching it in-program was neutral),
+        # so the only way to win is to stop paying it per run — the manual
+        # analogue of the constant folding XLA cannot do through the
+        # accuracy barriers and the scan.  Tables enter the program as jit
+        # ARGUMENTS (not closure constants: ~100 MB of embedded dense
+        # constants would bloat every compile and the persistent cache — the
+        # traced-grid lesson above). ---
+        aux_args = ()
+        integrator_run = integrator
+        stacked_forcing = None
+        if collect_precompute:
+            import copy
+
+            from na_dd_tpu.core.forcing import ForcingFromTimeGrid
+
+            ts_all = t0 + dt_adj * jnp.arange(
+                P + 1, dtype=jnp.result_type(float)
+            )
+            exact_stack = jax.jit(
+                jax.vmap(
+                    lambda tt: state_from_mms_when(
+                        mms_case=exact_sol_pack, t=tt, grid=grid
+                    )
+                )
+            )(ts_all)
+            field = integrator.semi_discrete_field
+            stacked_forcing = ForcingFromTimeGrid(
+                field.forcing, t0=t0, dt=dt_adj, num=P
+            )
+            f_tables = stacked_forcing.build_tables(grid, ops)
+            field_run = copy.copy(field)
+            field_run.forcing = stacked_forcing
+            integrator_run = copy.copy(integrator)
+            integrator_run.semi_discrete_field = field_run
+            aux_args = (exact_stack, f_tables)
+
+        def simulate_impl_g(g, s0, dt_run, exact_stack=None):
             # built OUTSIDE the scan so the downcast of the metric planes is
             # loop-invariant (baked mode constant-folds it entirely)
             gt = _tail_grid(g, jnp.float32) if collect_tail else None
 
-            def body(carry, k):
+            def body(carry, x):
                 s = carry
+                if exact_stack is not None:
+                    k, exact_k = x
+                else:
+                    k, exact_k = x, None
                 t_k = t0 + k * dt_run
-                s1, small = _scan_step(integrator, g, ops, s, t_k, dt_run)
-                h_sq, grad_sq = collect(g, gt, s1, t_k + dt_run)
+                s1, small = _scan_step(integrator_run, g, ops, s, t_k, dt_run)
+                if exact_k is not None:
+                    h_sq, grad_sq = _error_norms(
+                        g, ops, s1, exact_k, variable_names, integral_vars,
+                        tail_grid=gt,
+                    )
+                else:
+                    h_sq, grad_sq = collect(g, gt, s1, t_k + dt_run)
                 return s1, (h_sq, grad_sq, small)
 
-            h0, g0 = collect(g, gt, s0, t0)
             ks = jnp.arange(P, dtype=jnp.result_type(float))
-            _s_final, (h_sq, grad_sq, small) = jax.lax.scan(body, s0, ks)
+            if exact_stack is not None:
+                exact0 = jax.tree_util.tree_map(lambda a: a[0], exact_stack)
+                exact_xs = jax.tree_util.tree_map(lambda a: a[1:], exact_stack)
+                h0, g0 = _error_norms(
+                    g, ops, s0, exact0, variable_names, integral_vars,
+                    tail_grid=gt,
+                )
+                xs = (ks, exact_xs)
+            else:
+                h0, g0 = collect(g, gt, s0, t0)
+                xs = ks
+            _s_final, (h_sq, grad_sq, small) = jax.lax.scan(body, s0, xs)
             # Pack all outputs into THREE device buffers: through a tunneled
             # backend every fetched buffer costs a host<->device round-trip,
             # and the unpacked form (10 series + 10 scalars + diagnostics)
@@ -289,6 +381,17 @@ def run_simulation_collect_data(
                 return simulate_impl_g(g, s0, dt_adj)
 
             simulate = jax.jit(simulate_tg)
+        elif collect_precompute:
+
+            def simulate_tables(s0, exact_stack, f_tables):
+                # bind() runs at trace time, threading the traced tables
+                # into the stack-backed forcing the integrator copy holds
+                stacked_forcing.bind(f_tables)
+                return simulate_impl_g(
+                    grid, s0, dt_adj, exact_stack=exact_stack
+                )
+
+            simulate = jax.jit(simulate_tables)
         else:
 
             def simulate(s0):
@@ -296,14 +399,16 @@ def run_simulation_collect_data(
 
             simulate = jax.jit(simulate)
 
-        cache[key] = simulate
+        entry = (simulate, aux_args)
+        cache[key] = entry
 
+    simulate, aux_args = entry
     g_args = (grid,) if traced_grid else ()
     if traced_dt:
         dt_arr = jnp.full((1, 1), dt_adj, dtype=jnp.result_type(float))
         out = simulate(*g_args, initial_state, dt_arr)
     else:
-        out = simulate(*g_args, initial_state)
+        out = simulate(*g_args, initial_state, *aux_args)
     h_mat, g_mat, small_mat = jax.device_get(out)
     # discard the padded overrun rows (they integrated past Tf)
     h_mat = h_mat[:, : num_steps + 1]
@@ -455,6 +560,7 @@ class MMSTrial:
         pad_steps: Optional[int] = None,
         traced_grid: Optional[bool] = None,
         collect_tail: Optional[str] = None,
+        collect_precompute: Optional[bool] = None,
     ) -> NumericalErrorSummary:
         series, dt_adj = run_simulation_collect_data(
             grid=self.grid,
@@ -471,6 +577,7 @@ class MMSTrial:
             pad_steps=pad_steps,
             traced_grid=traced_grid,
             collect_tail=collect_tail,
+            collect_precompute=collect_precompute,
         )
         return NumericalErrorSummary(
             dt_used=dt_adj,

@@ -47,6 +47,13 @@ def _array_time(t_num, shape):
     forces every t-dependent transcendental onto the accurate path; the
     barrier stops XLA's algebraic simplifier from rewriting
     exp(broadcast(s)) back into broadcast(exp(s)).
+
+    Deliberately one barrier PER CALL: sharing a single barrier node across
+    the dozens of pack-closure calls of a step (memoized on the traced t)
+    was measured 38-60% SLOWER end-to-end on the axon TPU (pol N=256 mixed:
+    run 0.0865→0.1201 s, simulate-only 0.0499→0.0791 s) — a per-call
+    barrier fuses into its consumer chain as a producer, while one
+    multi-consumer barrier materializes and every chain re-reads it.
     """
     t_arr = jnp.broadcast_to(jnp.asarray(t_num, dtype=jnp.result_type(float)), shape)
     return jax.lax.optimization_barrier(t_arr)
@@ -180,27 +187,64 @@ def pack_symbolic_txy_with_derivatives(
 
     out = {}
     for name, expr in exprs.items():
-        pairs = _maybe_separable(expr, t_var, (x_var, y_var))
-        if pairs is not None:
-            out[name] = _wrap_separable(pairs, t_var, (x_var, y_var))
-        else:
-            raw = sympy.lambdify(
-                [t_var, x_var, y_var], expr, modules=_JAX_MODULES
-            )
-            out[name] = _wrap_shape(raw)
+        raw = sympy.lambdify([t_var, x_var, y_var], expr, modules=_JAX_MODULES)
+        out[name] = _dispatch_separable(
+            expr, t_var, (x_var, y_var), _wrap_shape(raw)
+        )
     return out
 
 
+def _dispatch_separable(expr, t_var, space_vars, full_fn) -> Callable:
+    """Build both evaluation closures and pick per-call (i.e. at trace
+    time) via :func:`_use_separable` — see that docstring for the measured
+    backend split.  Falls through to ``full_fn`` when the expression does
+    not separate."""
+    pairs = _maybe_separable(expr, t_var, space_vars)
+    if pairs is None:
+        return full_fn
+    sep_fn = _wrap_separable(pairs, t_var, space_vars)
+
+    def choose(t_num, *coords):
+        return (sep_fn if _use_separable() else full_fn)(t_num, *coords)
+
+    return choose
+
+
 def _maybe_separable(expr, t_var, space_vars):
-    """The shared gate: env kill-switch + a cap on the number of distinct
-    t-factors (a pathological split would trade one fused evaluation for an
-    unrolled chain of k multiply-adds; no study case exceeds 3)."""
-    if os.environ.get("NA_DD_TPU_SEPARABLE", "1") == "0":
-        return None
+    """The shared split gate: a cap on the number of distinct t-factors (a
+    pathological split would trade one fused evaluation for an unrolled
+    chain of k multiply-adds; no study case exceeds 3).  Whether the
+    separable closure is USED is decided per-trace by
+    :func:`_use_separable`."""
     pairs = _separate_t_space(expr, t_var, space_vars)
     if pairs is not None and len(pairs) <= 32:
         return pairs
     return None
+
+
+def _use_separable() -> bool:
+    """Backend-aware default, resolved at TRACE time (so constructing a case
+    never touches the backend, and tests can flip the env per-case).
+
+    Measured A/B at the headline level (pol N=256, 41 steps,
+    studies/results/mixed_perf_probe*.json): on CPU the separable path is
+    ~35% faster end-to-end (0.197 s vs 0.304 s at N=128, error identical to
+    4.5e-13) — the full-grid transcendentals are real FLOPs there.  On the
+    axon TPU it is consistently SLOWER (mixed 0.0865→0.0919 s, f64
+    0.1361→0.1507 s): the workload is HBM-bandwidth-bound (~79% of peak),
+    and replacing fused on-the-fly evaluation with reads of constant-folded
+    spatial planes trades compute the chip had to spare for traffic it did
+    not — and the program-shape change also moves the f64-emulation noise
+    (error 4.3828432551e-9 → 4.3828431485e-9, 2.4e-8 relative, vs the exact
+    pre-change value).  Hence: ON for CPU, OFF elsewhere;
+    NA_DD_TPU_SEPARABLE=1/0 forces either way.
+    """
+    env = os.environ.get("NA_DD_TPU_SEPARABLE", "")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    return jax.default_backend() == "cpu"
 
 
 class MMSCaseBase:

@@ -20,8 +20,8 @@ import sympy
 from na_dd_tpu.core.state import State
 from na_dd_tpu.mms.engine import (
     _JAX_MODULES,
-    _maybe_separable,
-    _wrap_separable,
+    _array_time,
+    _dispatch_separable,
     t_sym,
     x_sym,
     y_sym,
@@ -34,9 +34,9 @@ z_sym = sympy.Symbol("z", negative=False, real=True)
 
 def _array_time3(t_num, shape):
     """Coordinate-shaped time behind an optimization barrier — same TPU
-    f64-emulation rationale as :func:`na_dd_tpu.mms.engine._array_time`."""
-    t_arr = jnp.broadcast_to(jnp.asarray(t_num, dtype=jnp.result_type(float)), shape)
-    return jax.lax.optimization_barrier(t_arr)
+    f64-emulation rationale (and per-call-barrier lesson) as
+    :func:`na_dd_tpu.mms.engine._array_time` (shape-generic)."""
+    return _array_time(t_num, shape)
 
 
 def _wrap_shape3(raw: Callable) -> Callable:
@@ -76,18 +76,15 @@ def pack_symbolic_txyz_with_derivatives(
 
     out = {}
     for name, expr in exprs.items():
-        # separable Σ f_k(t)·g_k(x,y,z) fast path — same machinery and
-        # rationale as the 2-D engine (na_dd_tpu/mms/engine.py): t-factors
-        # on the tiny accurate-vector path, t-independent spatial factors
-        # hoisted out of the time scan.  Falls back per-expression.
-        pairs = _maybe_separable(expr, t_var, (x_var, y_var, z_var))
-        if pairs is not None:
-            out[name] = _wrap_separable(pairs, t_var, (x_var, y_var, z_var))
-        else:
-            raw = sympy.lambdify(
-                [t_var, x_var, y_var, z_var], expr, modules=_JAX_MODULES
-            )
-            out[name] = _wrap_shape3(raw)
+        # separable Σ f_k(t)·g_k(x,y,z) fast path — same machinery,
+        # backend-aware dispatch and rationale as the 2-D engine
+        # (na_dd_tpu/mms/engine.py::_use_separable).
+        raw = sympy.lambdify(
+            [t_var, x_var, y_var, z_var], expr, modules=_JAX_MODULES
+        )
+        out[name] = _dispatch_separable(
+            expr, t_var, (x_var, y_var, z_var), _wrap_shape3(raw)
+        )
     return out
 
 

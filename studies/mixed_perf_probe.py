@@ -177,6 +177,23 @@ def main():
     run_errors("mixed_errors_r1_nocheck_tail",
                run_kw=dict(collect_tail="f32"),
                mixed_refine=1, mixed_final_check=False, **mixed)
+    # batched exact-state pre-pass feeding the scan (collect_precompute)
+    run_errors("mixed_errors_r1_pre", run_kw=dict(collect_precompute=True),
+               mixed_refine=1, **mixed)
+    run_errors("mixed_errors_r1_pre_tail_nocheck",
+               run_kw=dict(collect_precompute=True, collect_tail="f32"),
+               mixed_refine=1, mixed_final_check=False, **mixed)
+    # inner f32 kernel budget: mixed solves target MIXED_INNER_TOL=1e-6, so
+    # the f64-tuned unroll=16 may be oversized (the in-kernel fori_loop runs
+    # the full budget regardless of the masked early exit)
+    run_errors("mixed_pre_tail_nocheck_u8",
+               run_kw=dict(collect_precompute=True, collect_tail="f32"),
+               mixed_refine=1, mixed_final_check=False,
+               krylov_unroll=8, **mixed)
+    run_errors("mixed_pre_tail_nocheck_u12",
+               run_kw=dict(collect_precompute=True, collect_tail="f32"),
+               mixed_refine=1, mixed_final_check=False,
+               krylov_unroll=12, **mixed)
     run_errors("f64_errors")
     run_sim_only("f64_sim")
 

@@ -159,3 +159,33 @@ def test_collect_tail_f32_inside_parity_gate():
 
     with pytest.raises(ValueError):
         t.run_for_errors(Tf=0.01, dt=5e-4, collect_tail="bf16")
+
+
+def test_collect_precompute_matches_default():
+    """collect_precompute=True moves the per-step exact-MMS evaluations out
+    of the scan into one batched pre-pass (vmap over the collection times)
+    and feeds the scan precomputed slices.  Same closures, same math — the
+    error value must agree with the in-scan path to deep-rounding level, and
+    it must compose with collect_tail."""
+    from na_dd_tpu.harness.studies import _make_trial, study_consts
+    from na_dd_tpu.mms import cases as mms_cases
+
+    t = _make_trial(
+        mms_cases.MMSCasePol, 16, 50.0, mc=study_consts("pol"), krylov_unroll=8
+    )
+    e_ref = float(
+        t.run_for_errors(Tf=0.01, dt=5e-4).overall_combined_error
+    )
+    e_pre = float(
+        t.run_for_errors(
+            Tf=0.01, dt=5e-4, collect_precompute=True
+        ).overall_combined_error
+    )
+    assert abs(e_pre - e_ref) / e_ref < 1e-10, (e_pre, e_ref)
+
+    e_both = float(
+        t.run_for_errors(
+            Tf=0.01, dt=5e-4, collect_precompute=True, collect_tail="f32"
+        ).overall_combined_error
+    )
+    assert abs(e_both - e_ref) / e_ref < 1e-7, (e_both, e_ref)
