@@ -144,8 +144,11 @@ def _wrap_separable(pairs, t_var, space_vars) -> Callable:
     def wrapped(t_num, *coords):
         shape = jnp.shape(coords[0])
         dtype = jnp.result_type(float)
+        # t may arrive (1,1)-shaped (the traced-dt ladder convention) or
+        # 0-d; flatten to a scalar before building the 2-lane array
+        t_scalar = jnp.ravel(jnp.asarray(t_num, dtype=dtype))[0]
         t_arr = jax.lax.optimization_barrier(
-            jnp.full((2,), jnp.asarray(t_num, dtype=dtype), dtype=dtype)
+            jnp.full((2,), t_scalar, dtype=dtype)
         )
         acc = jnp.zeros(shape, dtype=dtype)
         for tf, xyf in zip(t_fns, xy_fns):

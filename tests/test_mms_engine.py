@@ -140,3 +140,46 @@ def test_mms_case_from_analytic():
     )
     # FD Laplacian with eps=1e-6 carries ~1e-4 roundoff noise (1e-16/eps²)
     assert np.allclose(np.asarray(case.lap_T(0.5, xx, yy)), 0.0, atol=5e-4)
+
+
+def test_separable_evaluation_matches_full_path():
+    """The separable Σ f_k(t)·g_k(x,y) fast path (CPU default; see
+    _use_separable) must agree with the full-grid lambdified evaluation to
+    rounding for every pack key, for scalar AND (1,1)-shaped t (the
+    traced-dt ladder convention — regression for a broadcast crash), and
+    must preserve EXACT zeros of factored boundary terms (no sympy.expand:
+    x(1-x)y(1-y) must evaluate to exactly 0 on the boundary or
+    Heaviside(cs) flips at zero-crossing nodes)."""
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from na_dd_tpu.harness.studies import study_consts
+    from na_dd_tpu.mms import cases as mms_cases
+    from na_dd_tpu.models import Model02
+    from na_dd_tpu.ops import make_uniform_grid
+
+    g = make_uniform_grid(8, 8)
+    case = mms_cases.MMSCaseCsZeroCrossing(
+        grid=g, model=Model02(study_consts("pol"))
+    )
+    for t in (0.9, jnp.full((1, 1), 0.9)):
+        for key in ("base", "dt", "lap"):
+            fn = case.pack("cs")[key]
+            os.environ["NA_DD_TPU_SEPARABLE"] = "1"
+            try:
+                v_sep = np.asarray(fn(t, g.xx, g.yy))
+            finally:
+                os.environ["NA_DD_TPU_SEPARABLE"] = "0"
+            v_full = np.asarray(fn(t, g.xx, g.yy))
+            os.environ.pop("NA_DD_TPU_SEPARABLE", None)
+            np.testing.assert_allclose(v_sep, v_full, rtol=1e-12, atol=1e-15)
+    # factored boundary zeros survive the split exactly
+    os.environ["NA_DD_TPU_SEPARABLE"] = "1"
+    try:
+        cs = np.asarray(case.pack("cs")["base"](0.9, g.xx, g.yy))
+    finally:
+        os.environ.pop("NA_DD_TPU_SEPARABLE", None)
+    assert (cs[0, :] == 0).all() and (cs[-1, :] == 0).all()
+    assert (cs[:, 0] == 0).all() and (cs[:, -1] == 0).all()
