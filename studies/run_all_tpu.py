@@ -191,6 +191,18 @@ def _f64_spotcheck(study, kind, level, mixed_error):
     )
 
 
+#: Fast-mode temporal ladders pinned to precision=full, by MEASUREMENT
+#: (2026-08-19, attached chip): the MIXED traced-dt shared-compile expsin
+#: temporal program floors at ~2.7e-7 across every dt level on the axon TPU
+#: while the on-chip f64 spot-check is clean (8.1798502e-8 = reference) and
+#: CPU x64 reproduces the reference exactly in BOTH program shapes — i.e.
+#: the known program-shape-dependent f64-emulation noise (CLAUDE.md), in
+#: the mixed traced-dt shape for this case.  The adjudication gate caught
+#: it (max_rel_dev 2.29 → CPU PASS at 4.2e-11); the pin keeps the archived
+#: TPU number itself on the healthy program shape.
+TEMPORAL_F64_PIN = {"expsin"}
+
+
 def main():
     device = str(jax.devices()[0])
     t_start = time.time()
@@ -253,9 +265,19 @@ def main():
                 # to <=3e-11 relative per level.  NA_DD_SHARED_COMPILE=0
                 # restores per-level baked-dt programs.
                 shared = os.environ.get("NA_DD_SHARED_COMPILE", "1") != "0"
-                res = run_temporal_study(
-                    study, measure_steady=True, shared_compile=shared, **kwargs
-                )
+                pin_f64 = fast and study in TEMPORAL_F64_PIN
+                if pin_f64:
+                    os.environ["NA_DD_TPU_PRECISION"] = "full"
+                try:
+                    res = run_temporal_study(
+                        study, measure_steady=True, shared_compile=shared,
+                        **kwargs,
+                    )
+                finally:
+                    if pin_f64:
+                        os.environ["NA_DD_TPU_PRECISION"] = "mixed"
+                if pin_f64:
+                    res["precision_pin"] = "full"
             else:
                 # all eta values in one vmapped program (reference loops them)
                 res = run_eta_study_batched(study, **kwargs)
@@ -263,7 +285,9 @@ def main():
             traceback.print_exc()
             continue
         res["total_wallclock_s"] = time.time() - t0
-        res["precision"] = "mixed" if fast else "full"
+        res["precision"] = res.pop(
+            "precision_pin", "mixed" if fast else "full"
+        )
         if fast and kind in ("spatial", "temporal"):
             try:
                 res["f64_spotcheck"] = _f64_spotcheck(
