@@ -64,7 +64,12 @@ MODES = {
                    "NA_DD_TPU_MIXED_REFINE": "1",
                    "NA_DD_TPU_MIXED_CHECK": "0",
                    "NA_DD_TPU_COLLECT_TAIL": "f32",
-                   "NA_DD_TPU_COLLECT_PRE": "1"},
+                   "NA_DD_TPU_TIME_TABLES": "1"},
+    # f32 production mode + the same time tables (the f32 exact/forcing
+    # evals are native-speed but still per-step work)
+    "f32_pallas_fast": {"NA_DD_TPU_X64": "0", "NA_DD_TPU_STENCIL": "pallas",
+                        "NA_DD_TPU_PRECISION": "full",
+                        "NA_DD_TPU_TIME_TABLES": "1"},
 }
 
 
@@ -217,7 +222,8 @@ def main():
     children run strictly sequentially and exit cleanly between modes.
     """
     selected = os.environ.get(
-        "BENCH_MODES", "f64,f32,f32_pallas,mixed,mixed_pallas,mixed_fast"
+        "BENCH_MODES",
+        "f64,f32,f32_pallas,mixed,mixed_pallas,mixed_fast,f32_pallas_fast",
     ).split(",")
     results = {}
     consecutive_timeouts = 0
