@@ -57,7 +57,7 @@ MODES = {
     # norm/gradient tail on the per-step error collection (measured ~2e-9
     # relative on the final error vs the 1e-8 parity gate).  See
     # studies/mixed_perf_probe.py + studies/results/mixed_perf_probe.json.
-    # (the batched exact-state pre-pass, NA_DD_TPU_COLLECT_PRE, moves the
+    # (the batched exact-state pre-pass, NA_DD_TPU_TIME_TABLES, moves the
     # latency-bound per-step exact-MMS evaluations out of the scan)
     "mixed_fast": {"NA_DD_TPU_X64": "1", "NA_DD_TPU_STENCIL": "pallas",
                    "NA_DD_TPU_PRECISION": "mixed",
