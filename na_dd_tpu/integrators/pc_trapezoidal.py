@@ -143,6 +143,7 @@ class PCTrapezoidalBase:
         precision: str | None = None,
         mixed_refine: int | None = None,
         mixed_final_check: bool | None = None,
+        mixed_df: bool | None = None,
         coupling_source: str | None = None,
         fused_triple: bool | None = None,
         linear_solver: str | None = None,
@@ -225,6 +226,30 @@ class PCTrapezoidalBase:
         MIXED_INNER_TOL^(mixed_refine+1)) and ``resnorm_sq`` is reported on
         the last PASS's rhs scale, not ‖b‖.  Purely a perf knob for
         production runs where the per-solve verdict is not consumed.
+
+        mixed_df: compute the refinement's true residuals in DOUBLE-FLOAT
+        (two-f32 error-free transformations, ops/doublefloat.py) instead of
+        emulated f64.  The refinement iterate is carried as an (hi, lo) f32
+        pair; each pass's ``b - A·x`` runs entirely in native f32 (Dekker
+        two-prod / Knuth two-sum, absolute error ~2^-47·‖b‖ — below the
+        pass's own contraction needs), so the ONLY per-sweep emulated-f64
+        work left is the one-time hi/lo split of the coefficient planes and
+        the final hi+lo reconstruction (~25 light ops vs ~50 heavy ones:
+        the emulated plane-apply is compute-bound at ~50x native f32 when
+        dispatched standalone, studies/mixed_perf_probe.json).  Solution
+        differs from the emulated-f64 refinement only at the 2^-48-relative
+        level (bench A/B on chip: error 4.38284325482074e-9 vs
+        4.382843254823708e-9, 6e-13 relative).  MEASURED NEUTRAL on the
+        headline bench (2026-08-19, TPU v5e, mixed_fast config: 0.0701 s
+        DF vs 0.0697 s emulated; XLA cost model 1238 vs 1243 MB/step): the
+        in-program emulated applies fuse into the surrounding graph and the
+        whole mixed_fast program is BANDWIDTH-bound at ~89% of HBM peak —
+        a DF (hi, lo) pair moves the same 8 bytes as an emulated f64, so
+        swapping flops does not move the roofline.  Kept as a gated knob:
+        it is the correct substrate for any future byte-reducing variant
+        (e.g. f32-state + DF-only-where-cancelling) and for backends whose
+        f64 emulation is compute-bound.  Default False; env
+        NA_DD_TPU_MIXED_DF=1 enables.  Requires precision="mixed".
 
         coupling_source: how the Newton rhs cross-coupling terms
         (dFcl/dT·δT, dFcd/dT·δT + dFcd/dcl·δcl) are computed in the
@@ -333,6 +358,9 @@ class PCTrapezoidalBase:
         if mixed_final_check is None:
             mixed_final_check = os.environ.get("NA_DD_TPU_MIXED_CHECK", "1") != "0"
         self.mixed_final_check = bool(mixed_final_check)
+        if mixed_df is None:
+            mixed_df = os.environ.get("NA_DD_TPU_MIXED_DF", "0") == "1"
+        self.mixed_df = bool(mixed_df)
         if coupling_source is None:
             coupling_source = os.environ.get("NA_DD_TPU_COUPLING", "jvp")
         if coupling_source not in ("jvp", "analytic"):
@@ -624,13 +652,34 @@ class PCTrapezoidalBase:
             inv32 = inv_diag.astype(f32)
             mask32 = mask.astype(f32)
             b = rhs * mask
-            x = jnp.zeros_like(b)
             total_iters = jnp.asarray(0)
-            for k in range(self.mixed_refine + 1):
-                r = b if k == 0 else (b - st.apply(ops, x)) * mask
-                e32, info = solve_f32(st32, r.astype(f32), inv32, mask32)
-                x = x + e32.astype(b.dtype) * mask
-                total_iters = total_iters + info["iters"]
+            if self.mixed_df:
+                # Double-float residuals (see the mixed_df docstring): the
+                # iterate lives as an (hi, lo) f32 pair and each pass's
+                # b - A·x runs in native-f32 EFT arithmetic; the emulated
+                # f64 touches only the plane splits + final reconstruction.
+                from na_dd_tpu.ops import doublefloat as dfm
+
+                _, st_lo = dfm.df_split_stencil(st, st32)
+                b_df = dfm.df_split(b)
+                x_df = dfm.df_zeros_like(b_df.hi)
+                for k in range(self.mixed_refine + 1):
+                    if k == 0:
+                        r32 = b_df.hi
+                    else:
+                        a_df = dfm.df_stencil_apply(st32, st_lo, ops, x_df)
+                        r32 = dfm.df_sub(b_df, a_df).hi * mask32
+                    e32, info = solve_f32(st32, r32, inv32, mask32)
+                    x_df = dfm.df_add_f32(x_df, e32 * mask32)
+                    total_iters = total_iters + info["iters"]
+                x = dfm.df_to(x_df, b.dtype) * mask
+            else:
+                x = jnp.zeros_like(b)
+                for k in range(self.mixed_refine + 1):
+                    r = b if k == 0 else (b - st.apply(ops, x)) * mask
+                    e32, info = solve_f32(st32, r.astype(f32), inv32, mask32)
+                    x = x + e32.astype(b.dtype) * mask
+                    total_iters = total_iters + info["iters"]
             if not self.mixed_final_check:
                 # proxy verdict from the LAST inner f32 solve (see the
                 # mixed_final_check docstring); saves one diagnostic-only
@@ -860,37 +909,113 @@ class PCTrapezoidalBase:
                     wT = rhs_T * mask
                     wcl = base_cl * mask
                     wcd = base_cd * mask
-                    zT = jnp.zeros_like(wT)
-                    zcl = jnp.zeros_like(wcl)
-                    zcd = jnp.zeros_like(wcd)
                     iters3 = jnp.zeros((3,), dtype=jnp.int32)
-                    for k in range(self.mixed_refine + 1):
-                        if k == 0:
-                            rT, rcl, rcd = wT, wcl, wcd
-                        else:
-                            rT = wT - J_T.apply(ops, zT)
-                            rcl = (
-                                wcl + dt * C_clT.apply(ops, zT)
-                                - J_cl.apply(ops, zcl)
+                    inv_T32, inv_cl32, inv_cd32 = (
+                        inv(J_T32), inv(J_cl32), inv(J_cd32),
+                    )
+                    if self.mixed_df:
+                        # Double-float block residuals (mixed_df docstring):
+                        # all three refinement iterates live as (hi, lo) f32
+                        # pairs and the whole block residual
+                        #   r = w - M z  (M the block lower-triangular sweep
+                        # operator) runs in native-f32 EFT arithmetic; the
+                        # emulated f64 is reduced to the one-time hi/lo
+                        # plane splits + the final z reconstruction.
+                        from na_dd_tpu.ops import doublefloat as dfm
+
+                        _, J_Tlo = dfm.df_split_stencil(J_T, J_T32)
+                        _, J_cllo = dfm.df_split_stencil(J_cl, J_cl32)
+                        _, J_cdlo = dfm.df_split_stencil(J_cd, J_cd32)
+                        _, C_clTlo = dfm.df_split_stencil(C_clT, C_clT32)
+                        _, C_cdTlo = dfm.df_split_stencil(C_cdT, C_cdT32)
+                        d_df = dfm.df_split_with_hi(d_cdcl, d32)
+                        dt_df = dfm.df_split(jnp.asarray(dt, wT.dtype))
+                        wT_df = dfm.df_split(wT)
+                        wcl_df = dfm.df_split(wcl)
+                        wcd_df = dfm.df_split(wcd)
+                        zT_df = dfm.df_zeros_like(wT_df.hi)
+                        zcl_df = dfm.df_zeros_like(wcl_df.hi)
+                        zcd_df = dfm.df_zeros_like(wcd_df.hi)
+                        for k in range(self.mixed_refine + 1):
+                            if k == 0:
+                                rT32, rcl32, rcd32 = (
+                                    wT_df.hi, wcl_df.hi, wcd_df.hi,
+                                )
+                            else:
+                                aT = dfm.df_stencil_apply(
+                                    J_T32, J_Tlo, ops, zT_df
+                                )
+                                rT32 = dfm.df_sub(wT_df, aT).hi * m32
+                                c_cl = dfm.df_stencil_apply(
+                                    C_clT32, C_clTlo, ops, zT_df
+                                )
+                                a_cl = dfm.df_stencil_apply(
+                                    J_cl32, J_cllo, ops, zcl_df
+                                )
+                                rcl32 = dfm.df_sub(
+                                    dfm.df_add(wcl_df, dfm.df_mul(dt_df, c_cl)),
+                                    a_cl,
+                                ).hi * m32
+                                c_cd = dfm.df_add(
+                                    dfm.df_stencil_apply(
+                                        C_cdT32, C_cdTlo, ops, zT_df
+                                    ),
+                                    dfm.df_mul(d_df, zcl_df),
+                                )
+                                a_cd = dfm.df_stencil_apply(
+                                    J_cd32, J_cdlo, ops, zcd_df
+                                )
+                                rcd32 = dfm.df_sub(
+                                    dfm.df_add(wcd_df, dfm.df_mul(dt_df, c_cd)),
+                                    a_cd,
+                                ).hi * m32
+                            eT, ecl, ecd, info3 = triple_solve_pallas(
+                                J_T32, J_cl32, J_cd32, C_clT32, C_cdT32, d32,
+                                rT32, rcl32, rcd32,
+                                inv_T32, inv_cl32, inv_cd32, m32, dt,
+                                tol=MIXED_INNER_TOL,
+                                iters=self.krylov_unroll,
+                                interpret=interp,
                             )
-                            rcd = (
-                                wcd + dt * (C_cdT.apply(ops, zT) + d_cdcl * zcl)
-                                - J_cd.apply(ops, zcd)
+                            zT_df = dfm.df_add_f32(zT_df, eT * m32)
+                            zcl_df = dfm.df_add_f32(zcl_df, ecl * m32)
+                            zcd_df = dfm.df_add_f32(zcd_df, ecd * m32)
+                            iters3 = iters3 + info3["iters"]
+                        zT = dfm.df_to(zT_df, wT.dtype) * mask
+                        zcl = dfm.df_to(zcl_df, wT.dtype) * mask
+                        zcd = dfm.df_to(zcd_df, wT.dtype) * mask
+                    else:
+                        zT = jnp.zeros_like(wT)
+                        zcl = jnp.zeros_like(wcl)
+                        zcd = jnp.zeros_like(wcd)
+                        for k in range(self.mixed_refine + 1):
+                            if k == 0:
+                                rT, rcl, rcd = wT, wcl, wcd
+                            else:
+                                rT = wT - J_T.apply(ops, zT)
+                                rcl = (
+                                    wcl + dt * C_clT.apply(ops, zT)
+                                    - J_cl.apply(ops, zcl)
+                                )
+                                rcd = (
+                                    wcd
+                                    + dt * (C_cdT.apply(ops, zT) + d_cdcl * zcl)
+                                    - J_cd.apply(ops, zcd)
+                                )
+                            eT, ecl, ecd, info3 = triple_solve_pallas(
+                                J_T32, J_cl32, J_cd32, C_clT32, C_cdT32, d32,
+                                (rT * mask).astype(f32),
+                                (rcl * mask).astype(f32),
+                                (rcd * mask).astype(f32),
+                                inv_T32, inv_cl32, inv_cd32, m32, dt,
+                                tol=MIXED_INNER_TOL,
+                                iters=self.krylov_unroll,
+                                interpret=interp,
                             )
-                        eT, ecl, ecd, info3 = triple_solve_pallas(
-                            J_T32, J_cl32, J_cd32, C_clT32, C_cdT32, d32,
-                            (rT * mask).astype(f32),
-                            (rcl * mask).astype(f32),
-                            (rcd * mask).astype(f32),
-                            inv(J_T32), inv(J_cl32), inv(J_cd32), m32, dt,
-                            tol=MIXED_INNER_TOL,
-                            iters=self.krylov_unroll,
-                            interpret=interp,
-                        )
-                        zT = zT + eT.astype(wT.dtype) * mask
-                        zcl = zcl + ecl.astype(wT.dtype) * mask
-                        zcd = zcd + ecd.astype(wT.dtype) * mask
-                        iters3 = iters3 + info3["iters"]
+                            zT = zT + eT.astype(wT.dtype) * mask
+                            zcl = zcl + ecl.astype(wT.dtype) * mask
+                            zcd = zcd + ecd.astype(wT.dtype) * mask
+                            iters3 = iters3 + info3["iters"]
                     if self.mixed_final_check:
                         # Final f64 block residuals -> per-system verdicts
                         # with the same rhs-cancellation noise floor as the

@@ -194,6 +194,19 @@ def main():
                run_kw=dict(collect_precompute=True, collect_tail="f32"),
                mixed_refine=1, mixed_final_check=False,
                krylov_unroll=12, **mixed)
+    # double-float residuals (ops/doublefloat.py): the refinement's
+    # b - A·x in two-f32 EFT arithmetic instead of emulated f64 — the
+    # round-4 "only lever left" candidate (ROADMAP).  A/B against
+    # mixed_errors_r1_pre_tail_nocheck (identical config, DF off).
+    run_errors("mixed_df_pre_tail_nocheck",
+               run_kw=dict(collect_precompute=True, collect_tail="f32"),
+               mixed_refine=1, mixed_final_check=False,
+               mixed_df=True, **mixed)
+    # DF on the fused block-triangular sweep (analytic couplings)
+    run_errors("mixed_df_triple_pre_tail_nocheck",
+               run_kw=dict(collect_precompute=True, collect_tail="f32"),
+               mixed_refine=1, mixed_final_check=False,
+               mixed_df=True, coupling_source="analytic", **mixed)
     run_errors("f64_errors")
     run_sim_only("f64_sim")
 

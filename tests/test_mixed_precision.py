@@ -229,3 +229,36 @@ def test_mixed_final_check_env_default(monkeypatch):
         precision="mixed",
     )
     assert trial.integrator.mixed_final_check is False
+
+
+def test_mixed_df_residuals_match_f64_per_system_path():
+    """mixed_df=True: the refinement's true residuals run in double-float
+    (two-f32 EFT, ops/doublefloat.py) instead of emulated f64.  The study
+    error must still sit on the f64 parity value — the DF residual's
+    ~2^-47·‖b‖ absolute error is far inside the refinement contraction."""
+    _, s64 = _pol_summary()
+    e64 = float(s64.overall_combined_error)
+    trial, s_df = _pol_summary(precision="mixed", mixed_df=True)
+    assert trial.integrator.mixed_df
+    e_df = float(s_df.overall_combined_error)
+    assert abs(e_df - e64) / e64 < 1e-8, f"mixed_df {e_df} vs f64 {e64}"
+
+
+def test_mixed_df_block_triple_matches_f64():
+    """mixed_df on the fused block-triangular sweep (pallas + analytic):
+    all three block residuals in DF, one f32 kernel launch per pass — the
+    production mixed_fast path candidate.  Gate at the same 1e-8 as the
+    emulated-f64 refinement, at both refine=2 (default) and refine=1 (the
+    mixed_fast setting)."""
+    _, s64 = _pol_summary()
+    e64 = float(s64.overall_combined_error)
+    for refine in (2, 1):
+        trial, s_df = _pol_summary(
+            precision="mixed", stencil_backend="pallas",
+            coupling_source="analytic", mixed_df=True, mixed_refine=refine,
+        )
+        assert trial.integrator.mixed_df
+        e_df = float(s_df.overall_combined_error)
+        assert abs(e_df - e64) / e64 < 1e-8, (
+            f"mixed_df block refine={refine}: {e_df} vs f64 {e64}"
+        )
