@@ -347,10 +347,29 @@ class PCTrapezoidalBase:
         self.stencil_backend = stencil_backend
         if precision is None:
             precision = os.environ.get("NA_DD_TPU_PRECISION", "full")
-        if precision not in ("full", "mixed"):
-            raise ValueError(f"precision must be 'full' or 'mixed'; got {precision!r}")
+        if precision not in ("full", "mixed", "df"):
+            raise ValueError(
+                f"precision must be 'full', 'mixed' or 'df'; got {precision!r}"
+            )
         if precision == "mixed" and not self.assemble_stencil:
             raise ValueError("precision='mixed' requires assemble_stencil=True")
+        if precision == "df":
+            # the f32-state double-float step (round 5): every field
+            # evaluation, plane assembly, rhs combination and corrector runs
+            # in native-f32 DF via the jaxpr lift; it needs the closed-form
+            # analytic planes (the probe path linearizes a graph the lift
+            # never builds) and assembled stencils for the refinement.
+            if not self.assemble_stencil or stencil_source != "analytic":
+                raise ValueError(
+                    "precision='df' requires assemble_stencil=True and "
+                    "stencil_source='analytic'"
+                )
+            if differentiable:
+                raise ValueError(
+                    "precision='df' does not support differentiable=True "
+                    "(the DF jaxpr interpreter defines no VJP); use "
+                    "precision='mixed' for adjoint runs"
+                )
         self.precision = precision
         if mixed_refine is None:
             mixed_refine = int(os.environ.get("NA_DD_TPU_MIXED_REFINE", "2"))
@@ -514,6 +533,66 @@ class PCTrapezoidalBase:
         raise NotImplementedError
 
     # ------------------------------------------------------------------
+    # Inner native-f32 solve shared by the mixed and df precision modes
+    # ------------------------------------------------------------------
+    def _inner_f32_solve(self, ops, st32, b32, inv32, mask32):
+        """One inner f32 BiCGStab pass on f32 planes (mixed/df modes).
+
+        Routes through the fused Pallas kernels when selected/possible —
+        this is the path that makes the Mosaic (f32-only) kernels usable
+        inside an f64-accurate run."""
+        if self.linear_solver == "direct":
+            # f32 BCR inner solve: each refinement pass contracts the f64
+            # residual by ~f32 eps, independent of stiffness (no budget).
+            x32 = self._direct_solve_ops()(ops, st32, b32, mask32)
+            return x32, {
+                "iters": jnp.asarray(1, dtype=jnp.int32),
+                "resnorm_sq": jnp.asarray(0.0, dtype=b32.dtype),
+                "converged": jnp.asarray(True),
+            }
+        dot32 = lambda u, v: ops.asum(u * v)  # noqa: E731
+        if self.stencil_backend == "pallas" and ops is self._local_ops:
+            afits, apply_k, apply_tiled, ffits, fsolve = self._pallas_ops()
+
+            interp = jax.default_backend() == "cpu"
+            if (
+                self.krylov_unroll is not None
+                and not self.krylov_scanned
+                and ffits(b32.shape, b32.dtype)
+            ):
+                return fsolve(
+                    st32, b32, inv32, mask32,
+                    tol=MIXED_INNER_TOL, iters=self.krylov_unroll,
+                    interpret=interp,
+                )
+            if afits(b32.shape, b32.dtype):
+                matvec32 = lambda w: apply_k(st32, w, interpret=interp)  # noqa: E731
+            elif apply_tiled is not None:
+                # beyond the single-block budget: row-tiled grid kernel
+                matvec32 = lambda w: apply_tiled(st32, w, interpret=interp)  # noqa: E731
+            else:
+                matvec32 = lambda w: st32.apply(ops, w)  # noqa: E731
+        else:
+            matvec32 = lambda w: st32.apply(ops, w)  # noqa: E731
+        minv32 = lambda r: r * inv32  # noqa: E731
+        if self.krylov_unroll is not None:
+            solver = (
+                linsolve.bicgstab_scanned
+                if self.krylov_scanned
+                else linsolve.bicgstab_unrolled
+            )
+            delta, info = solver(
+                matvec32, b32, jnp.zeros_like(b32), dot=dot32, minv=minv32,
+                tol=MIXED_INNER_TOL, iters=self.krylov_unroll,
+            )
+        else:
+            delta, info = linsolve.bicgstab(
+                matvec32, b32, jnp.zeros_like(b32), dot=dot32, minv=minv32,
+                tol=MIXED_INNER_TOL, maxiter=self.krylov_maxiter,
+            )
+        return delta * mask32, info
+
+    # ------------------------------------------------------------------
     # Newton sweep over the triangular (T, cl, cd) block
     # ------------------------------------------------------------------
     def _newton_sweep(self, g, ops, s: State, t1, dt, Y, red, black):
@@ -573,62 +652,9 @@ class PCTrapezoidalBase:
                 delta, info = run(matvec, b)
             return delta * mask, info
 
-        def solve_f32(st32, b32, inv32, mask32):
-            """One inner f32 BiCGStab pass on downcast planes (mixed mode).
-
-            Routes through the fused Pallas kernels when selected/possible —
-            this is the path that makes the Mosaic (f32-only) kernels usable
-            inside an f64-accurate run."""
-            if self.linear_solver == "direct":
-                # f32 BCR inner solve: each refinement pass contracts the f64
-                # residual by ~f32 eps, independent of stiffness (no budget).
-                x32 = self._direct_solve_ops()(ops, st32, b32, mask32)
-                return x32, {
-                    "iters": jnp.asarray(1, dtype=jnp.int32),
-                    "resnorm_sq": jnp.asarray(0.0, dtype=b32.dtype),
-                    "converged": jnp.asarray(True),
-                }
-            if self.stencil_backend == "pallas" and ops is self._local_ops:
-                afits, apply_k, apply_tiled, ffits, fsolve = self._pallas_ops()
-
-                interp = jax.default_backend() == "cpu"
-                if (
-                    self.krylov_unroll is not None
-                    and not self.krylov_scanned
-                    and ffits(b32.shape, b32.dtype)
-                ):
-                    return fsolve(
-                        st32, b32, inv32, mask32,
-                        tol=MIXED_INNER_TOL, iters=self.krylov_unroll,
-                        interpret=interp,
-                    )
-                if afits(b32.shape, b32.dtype):
-                    matvec32 = lambda w: apply_k(st32, w, interpret=interp)  # noqa: E731
-                elif apply_tiled is not None:
-                    # beyond the single-block budget: row-tiled grid kernel
-                    matvec32 = lambda w: apply_tiled(st32, w, interpret=interp)  # noqa: E731
-                else:
-                    matvec32 = lambda w: st32.apply(ops, w)  # noqa: E731
-            else:
-                matvec32 = lambda w: st32.apply(ops, w)  # noqa: E731
-            dot32 = lambda u, v: ops.asum(u * v)  # noqa: E731
-            minv32 = lambda r: r * inv32  # noqa: E731
-            if self.krylov_unroll is not None:
-                solver = (
-                    linsolve.bicgstab_scanned
-                    if self.krylov_scanned
-                    else linsolve.bicgstab_unrolled
-                )
-                delta, info = solver(
-                    matvec32, b32, jnp.zeros_like(b32), dot=dot32, minv=minv32,
-                    tol=MIXED_INNER_TOL, iters=self.krylov_unroll,
-                )
-            else:
-                delta, info = linsolve.bicgstab(
-                    matvec32, b32, jnp.zeros_like(b32), dot=dot32, minv=minv32,
-                    tol=MIXED_INNER_TOL, maxiter=self.krylov_maxiter,
-                )
-            return delta * mask32, info
+        solve_f32 = lambda st32, b32, inv32, mask32: (  # noqa: E731
+            self._inner_f32_solve(ops, st32, b32, inv32, mask32)
+        )
 
         def solve_assembled_mixed(st, rhs, inv_diag, noise_sq=0.0):
             """Iterative refinement: f64 residuals around f32 inner solves.
@@ -1173,9 +1199,364 @@ class PCTrapezoidalBase:
         return T1, cl1, cd1, (res_T, res_cl, res_cd), iters, resnorm, converged
 
     # ------------------------------------------------------------------
+    # precision="df": the f32-state double-float step (round 5)
+    #
+    # The round-4 byte audit (studies/results/mixed_byte_audit.json) showed
+    # the mixed step's floor is NOT the solver: the zero-refinement program
+    # is already 1041 MB/step of emulated-f64 field/rhs/corrector pipeline
+    # vs 173 MB for the same step in pure f32.  This mode removes the
+    # emulated-f64 pipeline entirely: the state is carried as double-float
+    # (two-f32 EFT pairs, ops/doublefloat.py), every field evaluation,
+    # Jacobian-plane assembly, rhs near-cancellation (Y − 2s + dt·F) and
+    # corrector runs in native-f32 DF arithmetic through the jaxpr lift
+    # (ops/df_lift.py — including native DF exp/logistic for the hot
+    # Dl/Dd/H_η coefficients), and the Newton solves reuse the mixed-mode
+    # iterative refinement with DF residuals.  Accuracy: ~2^-48 relative per
+    # operation (vs emulated f64's 2^-53); the parity impact is gated by
+    # tests/test_df_mode.py and the bench error guard.  Algorithm preserved
+    # exactly: reference src/prob1base.py:3117-3149 (step), :2953-2996
+    # (predictors/correctors) — same sweeps, same boundary semantics.
+    # ------------------------------------------------------------------
+    def _df_refine_solve(self, ops, J_df, b_df, mask32):
+        """Iterative refinement with DF planes/rhs in and DF solution out —
+        the df-mode analogue of ``solve_assembled_mixed``: zero emulated-f64
+        work anywhere in the loop (the mixed mode's per-solve split of f64
+        planes is gone because the sources are born as DF pairs)."""
+        from na_dd_tpu.ops import doublefloat as dfm
+
+        J32 = type(J_df)(*(p.hi for p in J_df))
+        Jlo = type(J_df)(*(p.lo for p in J_df))
+        inv32 = jnp.where(
+            mask32 > 0, 1.0 / jnp.where(J32.c0 == 0, 1.0, J32.c0), 0.0
+        )
+        b_df = dfm.df_mask(b_df, mask32)
+        x = dfm.df_zeros_like(b_df.hi)
+        total_iters = jnp.asarray(0)
+        info = None
+        for k in range(self.mixed_refine + 1):
+            if k == 0:
+                r32 = b_df.hi
+            else:
+                a = dfm.df_stencil_apply(J32, Jlo, ops, x)
+                r32 = dfm.df_sub(b_df, a).hi * mask32
+            e32, info = self._inner_f32_solve(ops, J32, r32, inv32, mask32)
+            x = dfm.df_add_f32(x, e32 * mask32)
+            total_iters = total_iters + info["iters"]
+        if self.mixed_final_check:
+            r_df = dfm.df_sub(
+                b_df, dfm.df_stencil_apply(J32, Jlo, ops, x)
+            )
+            f64 = jnp.float64
+            r = dfm.df_to(dfm.df_mask(r_df, mask32), f64)
+            b = dfm.df_to(b_df, f64)
+            rsq = ops.asum(r * r)
+            tol = self.krylov_tol
+            # rhs noise floor at the DF unit roundoff (see solve_assembled)
+            eps_b = 10.0 * 2.0 ** -48
+            noise = eps_b * eps_b * ops.asum(b * b)
+            return x, {
+                "iters": total_iters,
+                "resnorm_sq": rsq,
+                "converged": rsq <= jnp.maximum(tol * tol * ops.asum(b * b), noise),
+            }
+        return x, {
+            "iters": total_iters,
+            "resnorm_sq": info["resnorm_sq"],
+            "converged": info["converged"],
+        }
+
+    def _newton_sweep_df(self, g, ops, s: State, t1, dt, Y):
+        """DF twin of :meth:`_newton_sweep` (analytic sources only): one
+        lifted evaluation produces the three primal fields, the three Newton
+        self-planes, both cross-coupling planes and the rhs combinations —
+        all as DF pairs — then the triangular solves run the mixed-mode
+        refinement on them.  ``s``/``Y`` are DF; returns DF iterates."""
+        from na_dd_tpu.ops import doublefloat as dfm
+        from na_dd_tpu.ops.df_lift import df_call_df
+
+        field = self.semi_discrete_field
+        mask = g.interior_mask
+        YT0, Ycl0, Ycd0 = Y
+        f32 = jnp.float32
+        mask32 = mask.astype(f32)
+
+        def sources(s_, t1_, dt_, YT_, Ycl_, Ycd_):
+            fT0 = field.FT(g, ops, s_, t1_)
+            fcl0 = field.Fcl(g, ops, s_, t1_)
+            fcd0 = field.Fcd(g, ops, s_, t1_)
+            J_T = self._newton_planes(g, ops, field.stencil_dFT_dT(g, ops, s_), dt_)
+            J_cl = self._newton_planes(g, ops, field.stencil_dFcl_dcl(g, ops, s_), dt_)
+            J_cd = self._newton_planes(g, ops, field.stencil_dFcd_dcd(g, ops, s_), dt_)
+            C_clT = field.stencil_dFcl_dT(g, ops, s_)
+            C_cdT = field.stencil_dFcd_dT(g, ops, s_)
+            d_cdcl = field.diag_dFcd_dcl(g, s_)
+            rhs_T = (YT_ - (2.0 * s_.T - dt_ * fT0)) * mask
+            base_cl = (Ycl_ - 2.0 * s_.cl + dt_ * fcl0) * mask
+            base_cd = (Ycd_ - 2.0 * s_.cd + dt_ * fcd0) * mask
+            return rhs_T, base_cl, base_cd, J_T, J_cl, J_cd, C_clT, C_cdT, d_cdcl
+
+        wT, wcl, wcd, J_T, J_cl, J_cd, C_clT, C_cdT, d_cdcl = df_call_df(
+            sources, s, t1, dt, YT0, Ycl0, Ycd0
+        )
+        dt_df = dfm.df_split(jnp.asarray(dt, jnp.float64))
+
+        st_hi = lambda st: type(st)(*(p.hi for p in st))  # noqa: E731
+        st_lo = lambda st: type(st)(*(p.lo for p in st))  # noqa: E731
+
+        use_fused = (
+            self.fused_triple
+            and self.linear_solver == "krylov"
+            and self.stencil_backend == "pallas"
+            and ops is LOCAL_OPS
+            and self.krylov_unroll is not None
+            and not self.krylov_scanned
+        )
+        if use_fused:
+            from na_dd_tpu.ops.pallas_kernels import (
+                triple_solve_fits,
+                triple_solve_pallas,
+            )
+
+            use_fused = triple_solve_fits(s.T.hi.shape, f32)
+        if use_fused:
+            # whole-sweep block-triangular refinement around the fused f32
+            # triple kernel — structurally identical to the mixed_df branch
+            # of _newton_sweep, but every source is already a DF pair
+            interp = jax.default_backend() == "cpu"
+            J_T32, J_Tlo = st_hi(J_T), st_lo(J_T)
+            J_cl32, J_cllo = st_hi(J_cl), st_lo(J_cl)
+            J_cd32, J_cdlo = st_hi(J_cd), st_lo(J_cd)
+            C_clT32, C_clTlo = st_hi(C_clT), st_lo(C_clT)
+            C_cdT32, C_cdTlo = st_hi(C_cdT), st_lo(C_cdT)
+            d32 = d_cdcl.hi
+            inv = lambda st32: jnp.where(  # noqa: E731
+                mask32 > 0, 1.0 / jnp.where(st32.c0 == 0, 1.0, st32.c0), 0.0
+            )
+            inv_T32, inv_cl32, inv_cd32 = inv(J_T32), inv(J_cl32), inv(J_cd32)
+            zT = dfm.df_zeros_like(wT.hi)
+            zcl = dfm.df_zeros_like(wcl.hi)
+            zcd = dfm.df_zeros_like(wcd.hi)
+            iters3 = jnp.zeros((3,), dtype=jnp.int32)
+            for k in range(self.mixed_refine + 1):
+                if k == 0:
+                    rT32, rcl32, rcd32 = wT.hi, wcl.hi, wcd.hi
+                else:
+                    aT = dfm.df_stencil_apply(J_T32, J_Tlo, ops, zT)
+                    rT32 = dfm.df_sub(wT, aT).hi * mask32
+                    c_cl = dfm.df_stencil_apply(C_clT32, C_clTlo, ops, zT)
+                    a_cl = dfm.df_stencil_apply(J_cl32, J_cllo, ops, zcl)
+                    rcl32 = dfm.df_sub(
+                        dfm.df_add(wcl, dfm.df_mul(dt_df, c_cl)), a_cl
+                    ).hi * mask32
+                    c_cd = dfm.df_add(
+                        dfm.df_stencil_apply(C_cdT32, C_cdTlo, ops, zT),
+                        dfm.df_mul(d_cdcl, zcl),
+                    )
+                    a_cd = dfm.df_stencil_apply(J_cd32, J_cdlo, ops, zcd)
+                    rcd32 = dfm.df_sub(
+                        dfm.df_add(wcd, dfm.df_mul(dt_df, c_cd)), a_cd
+                    ).hi * mask32
+                eT, ecl, ecd, info3 = triple_solve_pallas(
+                    J_T32, J_cl32, J_cd32, C_clT32, C_cdT32, d32,
+                    rT32, rcl32, rcd32,
+                    inv_T32, inv_cl32, inv_cd32, mask32, dt,
+                    tol=MIXED_INNER_TOL,
+                    iters=self.krylov_unroll,
+                    interpret=interp,
+                )
+                zT = dfm.df_add_f32(zT, eT * mask32)
+                zcl = dfm.df_add_f32(zcl, ecl * mask32)
+                zcd = dfm.df_add_f32(zcd, ecd * mask32)
+                iters3 = iters3 + info3["iters"]
+
+            def proxy(k, extra_iters):
+                return {
+                    "iters": extra_iters,
+                    "resnorm_sq": info3["resnorm_sq"][k].astype(jnp.float64),
+                    "converged": info3["converged"][k],
+                }
+
+            info_T, info_cl, info_cd = (
+                proxy(0, iters3[0]), proxy(1, iters3[1]), proxy(2, iters3[2]),
+            )
+            if self.mixed_final_check:
+                # honest verdicts from the DF block residuals, reconstructed
+                # to f64 only for the scalar dots
+                f64 = jnp.float64
+                tol = self.krylov_tol
+                eps_b = 10.0 * 2.0 ** -48
+
+                def verdict(r_df, b_df, extra_iters):
+                    r = dfm.df_to(dfm.df_mask(r_df, mask32), f64)
+                    b = dfm.df_to(b_df, f64)
+                    rsq = ops.asum(r * r)
+                    bsq = ops.asum(b * b)
+                    return {
+                        "iters": extra_iters,
+                        "resnorm_sq": rsq,
+                        "converged": rsq
+                        <= jnp.maximum(tol * tol * bsq, eps_b * eps_b * bsq),
+                    }
+
+                bcl_eff = dfm.df_add(
+                    wcl,
+                    dfm.df_mul(
+                        dt_df, dfm.df_stencil_apply(C_clT32, C_clTlo, ops, zT)
+                    ),
+                )
+                bcd_eff = dfm.df_add(
+                    wcd,
+                    dfm.df_mul(
+                        dt_df,
+                        dfm.df_add(
+                            dfm.df_stencil_apply(C_cdT32, C_cdTlo, ops, zT),
+                            dfm.df_mul(d_cdcl, zcl),
+                        ),
+                    ),
+                )
+                info_T = verdict(
+                    dfm.df_sub(wT, dfm.df_stencil_apply(J_T32, J_Tlo, ops, zT)),
+                    wT, iters3[0],
+                )
+                info_cl = verdict(
+                    dfm.df_sub(
+                        bcl_eff, dfm.df_stencil_apply(J_cl32, J_cllo, ops, zcl)
+                    ),
+                    bcl_eff, iters3[1],
+                )
+                info_cd = verdict(
+                    dfm.df_sub(
+                        bcd_eff, dfm.df_stencil_apply(J_cd32, J_cdlo, ops, zcd)
+                    ),
+                    bcd_eff, iters3[2],
+                )
+        else:
+            # per-system triangular sweep: refinement solve for T, then the
+            # cross-couplings applied (in DF) to the rhs of cl and cd —
+            # mirrors the analytic/coupling_source="analytic" f64 path
+            zT, info_T = self._df_refine_solve(ops, J_T, wT, mask32)
+            c_cl = dfm.df_stencil_apply(st_hi(C_clT), st_lo(C_clT), ops, zT)
+            b_cl = dfm.df_add(wcl, dfm.df_mask(dfm.df_mul(dt_df, c_cl), mask32))
+            zcl, info_cl = self._df_refine_solve(ops, J_cl, b_cl, mask32)
+            c_cd = dfm.df_add(
+                dfm.df_stencil_apply(st_hi(C_cdT), st_lo(C_cdT), ops, zT),
+                dfm.df_mul(d_cdcl, zcl),
+            )
+            b_cd = dfm.df_add(wcd, dfm.df_mask(dfm.df_mul(dt_df, c_cd), mask32))
+            zcd, info_cd = self._df_refine_solve(ops, J_cd, b_cd, mask32)
+
+        T1 = dfm.df_add(dfm.df_mask(s.T, mask32), zT)  # boundary re-zeroed
+        cl1 = dfm.df_add(s.cl, zcl)  # boundary kept, as in the reference
+        cd1 = dfm.df_add(s.cd, zcd)
+
+        if self.track_residuals:
+            def resid(s_, T1_, cl1_, cd1_, t1_, dt_, YT_, Ycl_, Ycd_):
+                s_T = s_._replace(T=T1_)
+                res_T = 2.0 * T1_ - dt_ * field.FT(g, ops, s_T, t1_) - YT_
+                s_cl = s_._replace(T=T1_, cl=cl1_)
+                res_cl = 2.0 * cl1_ - dt_ * field.Fcl(g, ops, s_cl, t1_) - Ycl_
+                s_cd = s_._replace(T=T1_, cl=cl1_, cd=cd1_)
+                res_cd = 2.0 * cd1_ - dt_ * field.Fcd(g, ops, s_cd, t1_) - Ycd_
+                return res_T, res_cl, res_cd
+
+            res = df_call_df(
+                resid, s, T1, cl1, cd1, t1, dt, YT0, Ycl0, Ycd0, out="f64"
+            )
+        else:
+            res = (jnp.zeros(s.T.hi.shape, jnp.float64),) * 3
+
+        resnorm = jnp.maximum(
+            jnp.maximum(
+                jnp.asarray(info_T["resnorm_sq"], jnp.float64),
+                jnp.asarray(info_cl["resnorm_sq"], jnp.float64),
+            ),
+            jnp.asarray(info_cd["resnorm_sq"], jnp.float64),
+        )
+        iters = info_T["iters"] + info_cl["iters"] + info_cd["iters"]
+        converged = info_T["converged"] & info_cl["converged"] & info_cd["converged"]
+        return T1, cl1, cd1, res, iters, resnorm, converged
+
+    def _step_fn_df(self, g: Grid, ops: Ops, at_t0: State, t0, dt):
+        """The df-mode step: DF state in/out internally, f64 State at the
+        API boundary (one exact split per field on entry, one exact hi+lo
+        reconstruction on exit — DF↔f64 round-trips are lossless)."""
+        from na_dd_tpu.ops import doublefloat as dfm
+        from na_dd_tpu.ops.df_lift import df_call_df
+
+        if jnp.finfo(jnp.result_type(float)).bits < 64:
+            raise ValueError(
+                "precision='df' requires x64 mode (the DF pairs are split "
+                "from / reconstructed to f64 at the step boundary)"
+            )
+        field = self.semi_discrete_field
+        t1 = t0 + dt
+        s0 = State(*(dfm.df_split(jnp.asarray(x)) for x in at_t0))
+
+        def y_and_preds(s_, t0_, dt_):
+            YT0 = dt_ * field.FT(g, ops, s_, t0_) + 2.0 * s_.T
+            Ycl0 = dt_ * field.Fcl(g, ops, s_, t0_) + 2.0 * s_.cl
+            Ycd0 = dt_ * field.Fcd(g, ops, s_, t0_) + 2.0 * s_.cd
+            cp1 = self.initial_cp_pred(g, ops, s_, t0_, dt=dt_)
+            cs1 = self.initial_cs_pred(g, ops, s_, t0_, dt=dt_)
+            return YT0, Ycl0, Ycd0, cp1, cs1
+
+        YT0, Ycl0, Ycd0, cp1, cs1 = df_call_df(y_and_preds, s0, t0, dt)
+        Y = (YT0, Ycl0, Ycd0)
+        T1, cl1, cd1 = s0.T, s0.cl, s0.cd
+
+        ftype = at_t0.T.dtype
+        res = (jnp.zeros(at_t0.T.shape, ftype),) * 3
+        total_iters = jnp.asarray(0)
+        worst_resnorm = jnp.asarray(0.0, dtype=ftype)
+        all_converged = jnp.asarray(True)
+        hcs_ok = jnp.asarray(True)
+
+        for _pc in range(self.num_pc_steps):
+            # plain Python loop over Newton sweeps (production runs 1; the
+            # scan-over-sweeps compile optimization of the f64 path is not
+            # worth carrying DF pytrees through scan here)
+            for _n in range(self.num_newton_steps):
+                s_df = State(cp=cp1, T=T1, cl=cl1, cd=cd1, cs=cs1)
+                T1, cl1, cd1, res, iters, resnorm, converged = (
+                    self._newton_sweep_df(g, ops, s_df, t1, dt, Y)
+                )
+                total_iters = total_iters + iters
+                worst_resnorm = jnp.maximum(
+                    worst_resnorm, resnorm.astype(ftype)
+                )
+                all_converged = jnp.logical_and(all_converged, converged)
+
+            def correctors(T1_, cl1_, cd1_, s0_, t0_, dt_):
+                cp_n = self.corrector_cp_step(
+                    g, ops, T1_, cl1_, cd1_, at_t0=s0_, t0=t0_, dt=dt_
+                )
+                cs_n, ok = self.corrector_cs_step(
+                    g, ops, T1_, cl1_, cd1_, at_t0=s0_, t0=t0_, dt=dt_
+                )
+                return cp_n, cs_n, ok
+
+            cp1, cs1, ok = df_call_df(correctors, T1, cl1, cd1, s0, t0, dt)
+            hcs_ok = jnp.logical_and(hcs_ok, ok)
+
+        out = State(cp=cp1, T=T1, cl=cl1, cd=cd1, cs=cs1)
+        new_state = State(*(dfm.df_to(x, ftype) for x in out))
+        diag = StepDiagnostics(
+            residual_T=res[0],
+            residual_cl=res[1],
+            residual_cd=res[2],
+            krylov_iters=total_iters,
+            krylov_resnorm_sq=worst_resnorm,
+            krylov_converged=all_converged,
+            hcs_denominator_ok=hcs_ok,
+        )
+        return new_state, diag
+
+    # ------------------------------------------------------------------
     # Full step (reference step, src/prob1base.py:3117-3149)
     # ------------------------------------------------------------------
     def step_fn(self, g: Grid, ops: Ops, at_t0: State, t0, dt):
+        if self.precision == "df":
+            return self._step_fn_df(g, ops, at_t0, t0, dt)
         field = self.semi_discrete_field
         t1 = t0 + dt
 

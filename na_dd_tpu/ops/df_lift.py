@@ -47,12 +47,19 @@ import jax.numpy as jnp
 from na_dd_tpu.ops.doublefloat import (
     DF,
     df_add,
+    df_cos,
+    df_div,
+    df_exp,
+    df_log,
+    df_logistic,
     df_mul,
+    df_pow,
+    df_rsqrt,
+    df_sin,
     df_split,
+    df_sqrt,
+    df_tanh,
     df_to,
-    fast_two_sum,
-    two_prod,
-    two_sum,
 )
 
 _F32 = jnp.float32
@@ -75,23 +82,12 @@ def _df_sub(a: DF, b: DF) -> DF:
     return df_add(a, _df_neg(b))
 
 
-def _df_div(a: DF, b: DF) -> DF:
-    """DF / DF: estimate, one long-division correction step (~2^-46 rel)."""
-    q0 = a.hi / b.hi
-    p, e = two_prod(q0, b.hi)
-    # r = a - q0*b, in DF (q0*b = (p, e + q0*b.lo))
-    r = df_add(a, DF(-p, -(e + q0 * b.lo)))
-    q1 = (r.hi + r.lo) / b.hi
-    s, t = fast_two_sum(q0, q1)
-    return DF(s, t)
-
-
 def _df_integer_pow(a: DF, *, y: int) -> DF:
     if y == 0:
         return DF(jnp.ones_like(a.hi), jnp.zeros_like(a.hi))
     if y < 0:
         one = DF(jnp.ones_like(a.hi), jnp.zeros_like(a.hi))
-        return _df_div(one, _df_integer_pow(a, y=-y))
+        return df_div(one, _df_integer_pow(a, y=-y))
     # square-and-multiply in DF
     result = None
     base = a
@@ -105,19 +101,27 @@ def _df_integer_pow(a: DF, *, y: int) -> DF:
     return result
 
 
-def _df_sqrt(a: DF) -> DF:
-    """sqrt via f32 estimate + one Heron correction in DF."""
-    y0 = jnp.sqrt(a.hi)
-    p, e = two_prod(y0, y0)
-    r = df_add(a, DF(-p, -e))
-    y1 = (r.hi + r.lo) / (2.0 * y0)
-    s, t = fast_two_sum(y0, y1)
-    return DF(s, t)
-
-
 def _df_abs(a: DF) -> DF:
     neg = a.hi < 0
     return DF(jnp.where(neg, -a.hi, a.hi), jnp.where(neg, -a.lo, a.lo))
+
+
+def _df_select(pred, a: DF, b: DF) -> DF:
+    return DF(jnp.where(pred, a.hi, b.hi), jnp.where(pred, a.lo, b.lo))
+
+
+def _df_minmax(ge: bool):
+    """max/min deciding on the reconstructed f64 values (consistent with the
+    _COMPARES rule) and propagating NaN like jnp.maximum/minimum."""
+
+    def rule(a: DF, b: DF) -> DF:
+        ra, rb = df_to(a, _F64), df_to(b, _F64)
+        res = _df_select(ra >= rb if ge else ra <= rb, a, b)
+        isnan = jnp.isnan(ra) | jnp.isnan(rb)
+        nan = jnp.full(jnp.broadcast_shapes(a.hi.shape, b.hi.shape), jnp.nan, _F32)
+        return _df_select(isnan, DF(nan, nan), res)
+
+    return rule
 
 
 def _binop(op):
@@ -131,18 +135,48 @@ _DF_RULES: dict[str, Callable[..., Any]] = {
     "add": _binop(df_add),
     "sub": _binop(_df_sub),
     "mul": _binop(df_mul),
-    "div": _binop(_df_div),
+    "div": _binop(df_div),
     "neg": _df_neg,
     "integer_pow": _df_integer_pow,
-    "sqrt": _df_sqrt,
+    "sqrt": df_sqrt,
+    "rsqrt": df_rsqrt,
     "abs": _df_abs,
-    "max": lambda a, b: _df_select(a.hi + a.lo >= b.hi + b.lo, a, b),
-    "min": lambda a, b: _df_select(a.hi + a.lo <= b.hi + b.lo, a, b),
+    "sign": lambda a: DF(jnp.sign(df_to(a, _F64)).astype(_F32),
+                         jnp.zeros_like(a.hi)),
+    "max": _df_minmax(ge=True),
+    "min": _df_minmax(ge=False),
+    # transcendentals: native-f32 DF algorithms (ops/doublefloat.py),
+    # replacing the emulated-f64 passthrough that used to dominate the
+    # lifted field evaluation's byte budget (VERDICT r4 task 2)
+    "exp": df_exp,
+    "log": df_log,
+    "logistic": df_logistic,
+    "pow": _binop(df_pow),
+    "sin": df_sin,
+    "cos": df_cos,
+    "tanh": df_tanh,
 }
 
+def _df_reduce(jnp_fn):
+    """Order-statistic reductions (max/min) decided on the f32 image
+    hi + lo: the result seeds comparisons/early-exit thresholds, where f32
+    granularity only moves an ulp-edge decision (an emulated-f64 reduction
+    per call would defeat the point of the lift)."""
 
-def _df_select(pred, a: DF, b: DF) -> DF:
-    return DF(jnp.where(pred, a.hi, b.hi), jnp.where(pred, a.lo, b.lo))
+    def rule(a: DF, *, axes):
+        v = jnp_fn(a.hi + a.lo, axis=axes)
+        return DF(v, jnp.zeros_like(v))
+
+    return rule
+
+
+_DF_RULES["reduce_max"] = _df_reduce(jnp.max)
+_DF_RULES["reduce_min"] = _df_reduce(jnp.min)
+
+#: primitive params that do not change the math and are safe to drop when
+#: calling a DF rule (jax >= 0.5 threads an `accuracy` hint through every
+#: transcendental — the DF algorithms are fixed-accuracy by construction)
+_BENIGN_PARAMS = frozenset({"accuracy"})
 
 
 #: structural / layout primitives: exact when applied to hi and lo
@@ -173,19 +207,36 @@ _COMPARES = frozenset({"eq", "ne", "lt", "le", "gt", "ge"})
 _passthrough_counter: collections.Counter = collections.Counter()
 
 
-def df_lift_report() -> dict:
-    """Primitive -> count of f64-passthrough binds since process start
-    (trace-time counts; shows where emulated-f64 work remains)."""
-    return dict(_passthrough_counter)
+def df_lift_report(reset: bool = False) -> dict:
+    """Primitive -> count of f64-passthrough binds since process start (or
+    since the last ``reset=True`` call; trace-time counts — shows where
+    emulated-f64 work remains).  Tests that assert on the report should pass
+    ``reset=True`` first so earlier lifts in the process don't leak in."""
+    report = dict(_passthrough_counter)
+    if reset:
+        _passthrough_counter.clear()
+    return report
 
 
 def _reconstruct(v):
     return df_to(v, _F64) if isinstance(v, DF) else v
 
 
-def _maybe_df(v, aval):
+#: consts with at least this many elements stay f64 and are split ON DEMAND
+#: (per consuming op) instead of eagerly.  Rationale: the time-table forcing
+#: arrays (harness NA_DD_TPU_TIME_TABLES) are (num_steps+1, N, N) closure
+#: constants consumed through ONE dynamic_slice per step — an eager split
+#: would reprocess the whole ~100 MB table inside every step, while the
+#: lazy path splits only the sliced row.  Small consts (grid metrics,
+#: masks) stay eager so their repeated uses split once, not per use.
+_LAZY_CONST_ELEMS = 1 << 20
+
+
+def _maybe_df(v, aval, *, lazy_ok: bool = False):
     """Split a concrete float input/const into DF; leave the rest alone."""
     if _is_float(aval):
+        if lazy_ok and getattr(aval, "size", 0) >= _LAZY_CONST_ELEMS:
+            return jnp.asarray(v, _F64)
         return df_split(jnp.asarray(v, _F64))
     return v
 
@@ -202,7 +253,7 @@ def _eval_jaxpr_df(jaxpr, consts, *args):
         env[var] = val
 
     for var, const in zip(jaxpr.constvars, consts):
-        write(var, _maybe_df(const, var.aval))
+        write(var, _maybe_df(const, var.aval, lazy_ok=True))
     for var, arg in zip(jaxpr.invars, args):
         write(var, arg)
 
@@ -221,6 +272,16 @@ def _eval_jaxpr_df(jaxpr, consts, *args):
                 outs = _eval_jaxpr_df(inner, [], *invals)
         elif name in _STRUCTURAL:
             if any(isinstance(v, DF) for v in invals):
+                # lazy (still-f64) float operands must be split before the
+                # hi/lo fan-out — duplicating them into both channels would
+                # double-count the value
+                invals = [
+                    df_split(v)
+                    if not isinstance(v, DF) and hasattr(v, "dtype")
+                    and jnp.issubdtype(v.dtype, jnp.floating)
+                    else v
+                    for v in invals
+                ]
                 his = [v.hi if isinstance(v, DF) else v for v in invals]
                 los = [v.lo if isinstance(v, DF) else v for v in invals]
                 out_hi = eqn.primitive.bind(*his, **eqn.params)
@@ -246,6 +307,21 @@ def _eval_jaxpr_df(jaxpr, consts, *args):
             outs = [DF(hi, lo)]
         elif name in _COMPARES:
             outs = [eqn.primitive.bind(*map(_reconstruct, invals), **eqn.params)]
+        elif (
+            name == "pow"
+            and isinstance(eqn.invars[1], jax.extend.core.Literal)
+            and jnp.ndim(eqn.invars[1].val) == 0
+            and float(eqn.invars[1].val).is_integer()
+            and abs(float(eqn.invars[1].val)) <= 64
+        ):
+            # integer-valued literal exponents (sympy lambdify emits 1/(1+t)
+            # as pow(x, -1.0) etc.): square-and-multiply instead of the full
+            # exp(b·log a) DF pow — ~25 ops vs ~1000 (the lifted MMS forcing
+            # graph shrank 5x; all 77 pows in the Pol case are such literals)
+            base = invals[0]
+            if not isinstance(base, DF):
+                base = df_split(jnp.asarray(base, _F64))
+            outs = [_df_integer_pow(base, y=int(float(eqn.invars[1].val)))]
         elif name == "convert_element_type":
             (v,) = invals
             new_dtype = eqn.params["new_dtype"]
@@ -268,7 +344,9 @@ def _eval_jaxpr_df(jaxpr, consts, *args):
                 v if isinstance(v, DF) else df_split(jnp.asarray(v, _F64))
                 for v in invals
             ]
-            outs = [_DF_RULES[name](*dfvals, **eqn.params)]
+            params = {k: v for k, v in eqn.params.items()
+                      if k not in _BENIGN_PARAMS}
+            outs = [_DF_RULES[name](*dfvals, **params)]
         else:
             # total fallback: reconstruct f64, bind the original primitive,
             # split float outputs back to DF.  Counts toward the report.
@@ -319,3 +397,41 @@ def df_call(fn: Callable, *args, out: str = "f64"):
 def df_lift(fn: Callable, out: str = "f64") -> Callable:
     """Return a jittable function computing ``fn`` in double-float."""
     return partial(df_call, fn, out=out)
+
+
+def _is_df(x) -> bool:
+    return isinstance(x, DF)
+
+
+def df_call_df(fn: Callable, *args, out: str = "df"):
+    """Evaluate ``fn(*args)`` in double-float where ``args``' float leaves
+    may ALREADY be :class:`DF` pairs (mixed with plain arrays/scalars).
+
+    This is the composition entry point for the f32-state integrator: the
+    step carries its state as DF pairs and threads them through several
+    lifted stages (field evals, plane assembly, correctors) without ever
+    round-tripping through emulated f64.  ``fn`` itself is ordinary f64
+    jax code — it is traced at f64 avals and interpreted with DF rules.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(args, is_leaf=_is_df)
+    spec = [
+        jax.ShapeDtypeStruct(l.hi.shape, _F64) if isinstance(l, DF) else l
+        for l in leaves
+    ]
+    spec_args = jax.tree_util.tree_unflatten(treedef, spec)
+    closed = jax.make_jaxpr(fn)(*spec_args)
+    df_args = []
+    for l in leaves:
+        if isinstance(l, DF):
+            df_args.append(l)
+            continue
+        arr = jnp.asarray(l)
+        if jnp.issubdtype(arr.dtype, jnp.floating):
+            df_args.append(df_split(arr.astype(_F64)))
+        else:
+            df_args.append(arr)
+    outs = _eval_jaxpr_df(closed.jaxpr, closed.consts, *df_args)
+    if out == "f64":
+        outs = [_reconstruct(o) for o in outs]
+    out_tree = jax.tree_util.tree_structure(jax.eval_shape(fn, *spec_args))
+    return jax.tree_util.tree_unflatten(out_tree, outs)

@@ -76,7 +76,7 @@ def _archive():
         )
 
 
-def audit(label, x64_expected=True, **kw):
+def audit(label, **kw):
     if ONLY and not any(s in label for s in ONLY):
         return
     mc = study_consts("pol")
@@ -118,7 +118,10 @@ def main():
         audit("mixed_r1_nocheck_df", mixed_refine=1, mixed_df=True, **mixed)
         audit("mixed_r1_analytic_triple", mixed_refine=1,
               coupling_source="analytic", **mixed)
-        audit("f64_full_jnp")  # the f64 krylov step, for the solve delta
+        # pin the baseline explicitly: without these the row would inherit
+        # NA_DD_TPU_PRECISION / NA_DD_TPU_STENCIL from the environment and
+        # silently record a mixed/pallas step under the f64 label (ADVICE r4)
+        audit("f64_full_jnp", precision="full", stencil_backend="jnp")
     else:
         audit("f32_pallas", stencil_backend="pallas")
 

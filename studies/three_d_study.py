@@ -339,6 +339,48 @@ def main():
     ok = rate_ok and all(lv["converged"] for lv in levels)
     print("[OK]" if ok else "[RATE/CONVERGENCE CHECK FAILED]")
 
+    # CPU-x64 adjudication of one level (VERDICT r4 task 6): the 3-D ladders
+    # have no external golden values, so the TPU-noise check is agreement
+    # with exact-f64 CPU on the cheapest level (level 0: fewest steps on
+    # temporal ladders, smallest grid on spatial ones).  Runs in a fresh
+    # CPU-forced subprocess; a failure flags the archived JSON AND fails the
+    # study exit code, so a poisoned TPU number cannot land unflagged.
+    adjudication = None
+    if jax.default_backend() != "cpu" and os.environ.get(
+        "NA_DD_ADJUDICATE", "1"
+    ) != "0":
+        import subprocess
+
+        lv0 = levels[0]
+        cmd = [
+            sys.executable,
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "adjudicate_three_d.py"),
+            "--N", str(lv0["N"]), "--dt", repr(lv0["dt"]),
+            "--tf", repr(args.tf), "--eta", repr(args.eta),
+            "--variant", args.variant, "--tpu-error", repr(lv0["error"]),
+        ]
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True,
+                timeout=float(os.environ.get("NA_DD_ADJUDICATE_TIMEOUT", "1800")),
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith("ADJUDICATION_JSON: "):
+                    adjudication = json.loads(line[len("ADJUDICATION_JSON: "):])
+            if adjudication is None:
+                adjudication = dict(passed=None, error="no ADJUDICATION_JSON",
+                                    rc=proc.returncode,
+                                    stderr=proc.stderr[-500:])
+        except subprocess.TimeoutExpired:
+            adjudication = dict(passed=None, error="timeout")
+        print("adjudication (CPU x64, level 0):", json.dumps(adjudication),
+              flush=True)
+        if adjudication.get("passed") is False:
+            ok = False
+            print("[ADJUDICATION FAILED: TPU level-0 error deviates from "
+                  "CPU x64 beyond tolerance]")
+
     result = dict(
         backend=jax.default_backend(),
         x64=bool(jax.config.jax_enable_x64),
@@ -350,6 +392,7 @@ def main():
         levels=levels,
         rates=rates,
         self_reference_rates=self_rates,
+        adjudication=adjudication,
         timestamp=time.strftime("%Y-%m-%d %H:%M:%S"),
     )
     out_path = args.out or os.path.join(

@@ -74,12 +74,13 @@ def test_df_lift_newton_planes_match_f64(pol_setup):
             _gate(p_got, p_ref, label="plane")
 
 
-def test_df_lift_is_jittable_and_passthrough_is_small(pol_setup):
-    """The lifted evaluation must trace into ONE jittable XLA program, and
-    the f64-passthrough set must stay limited to transcendentals (exp /
-    logistic / pow) — anything else appearing here means a hot primitive
-    silently fell off the native-f32 path."""
+def test_df_lift_is_jittable_and_no_passthrough(pol_setup):
+    """The lifted evaluation must trace into ONE jittable XLA program with
+    ZERO f64 passthroughs: since round 5 the transcendentals (exp, logistic,
+    pow, sin, cos, log, tanh) have native-f32 DF rules, so anything in the
+    report means a hot primitive silently fell off the native-f32 path."""
     g, field, s0 = pol_setup
+    df_lift_report(reset=True)  # earlier lifts in the process don't leak in
     fn = jax.jit(
         lambda s, t: df_call(
             lambda ss, tt: field.all_fields(g, LOCAL_OPS, ss, tt), s, t
@@ -88,6 +89,30 @@ def test_df_lift_is_jittable_and_passthrough_is_small(pol_setup):
     ref = field.all_fields(g, LOCAL_OPS, s0, 0.011)
     got = fn(s0, 0.011)
     _gate(got.T, ref.T, label="jit T")
-    allowed = {"exp", "logistic", "pow", "sin", "cos", "log", "tanh", "erf"}
-    extra = set(df_lift_report()) - allowed
-    assert not extra, f"unexpected f64 passthroughs: {extra}"
+    assert df_lift_report() == {}, (
+        f"unexpected f64 passthroughs: {df_lift_report()}"
+    )
+
+
+def test_df_lift_sqrt_with_zeros_and_minmax_nan():
+    """sqrt through the lifted interpreter: must tolerate the `accuracy`
+    primitive param of current JAX, return exactly 0 at exact-zero inputs
+    (boundary-masked arrays are pervasive — ADVICE r4), and max/min must
+    propagate NaN like jnp.maximum/minimum."""
+    x = jnp.concatenate(
+        [jnp.zeros(3, jnp.float64), jnp.linspace(0.5, 4.0, 61, jnp.float64)]
+    )
+
+    def f(v):
+        return jnp.sqrt(v) + jnp.maximum(v, 0.25) - jnp.minimum(v, 3.0)
+
+    got = df_call(f, x)
+    ref = f(x)
+    assert not bool(jnp.any(jnp.isnan(got)))
+    _gate(got, ref, label="sqrt+minmax")
+
+    xn = jnp.array([1.0, jnp.nan, 2.0], jnp.float64)
+    got_max = df_call(lambda v: jnp.maximum(v, 1.5), xn)
+    ref_max = jnp.maximum(xn, 1.5)
+    assert bool(jnp.isnan(got_max[1])) == bool(jnp.isnan(ref_max[1]))
+    assert jnp.allclose(got_max[::2], ref_max[::2])
