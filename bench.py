@@ -65,6 +65,12 @@ MODE_REFERENCE = {
     # no archived value of its own yet: gated loosely against f32_pallas
     # (the time-tables knob changes the forcing-evaluation shape slightly)
     "f32_pallas_fast": (3.704867759636057e-07, 5e-2),
+    # f32-state double-float step (precision="df"): carries ~2^-48-relative
+    # DF arithmetic instead of emulated f64's 2^-53, so the end-to-end error
+    # sits on the f64 value to well under the 1e-8 parity gate but not to
+    # 1e-7 ulp-level reproducibility; gate at 1e-4 relative (measured CPU
+    # deviation ~1e-6; see tests/test_df_mode.py)
+    "df_fast": (4.382843255135883e-09, 1e-4),
 }
 
 MODES = {
@@ -101,6 +107,16 @@ MODES = {
     "f32_pallas_fast": {"NA_DD_TPU_X64": "0", "NA_DD_TPU_STENCIL": "pallas",
                         "NA_DD_TPU_PRECISION": "full",
                         "NA_DD_TPU_TIME_TABLES": "1"},
+    # round-5 candidate production mode: the f32-state double-float step
+    # (precision="df" — state/fields/planes/rhs/correctors all in native-f32
+    # DF pairs via ops/df_lift.py, Newton solves as DF iterative refinement
+    # around the fused f32 kernel).  Same fast knobs as mixed_fast.
+    "df_fast": {"NA_DD_TPU_X64": "1", "NA_DD_TPU_STENCIL": "pallas",
+                "NA_DD_TPU_PRECISION": "df",
+                "NA_DD_TPU_MIXED_REFINE": "1",
+                "NA_DD_TPU_MIXED_CHECK": "0",
+                "NA_DD_TPU_COLLECT_TAIL": "f32",
+                "NA_DD_TPU_TIME_TABLES": "1"},
 }
 
 

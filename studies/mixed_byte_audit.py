@@ -122,6 +122,12 @@ def main():
         # NA_DD_TPU_PRECISION / NA_DD_TPU_STENCIL from the environment and
         # silently record a mixed/pallas step under the f64 label (ADVICE r4)
         audit("f64_full_jnp", precision="full", stencil_backend="jnp")
+        # round 5: the f32-state DF step — the whole point is the byte count
+        # (target: well under the mixed r0 floor of 1041 MB/step)
+        audit("df_r1_nocheck", precision="df", stencil_backend="pallas",
+              mixed_refine=1, mixed_final_check=False)
+        audit("df_r0_nocheck", precision="df", stencil_backend="pallas",
+              mixed_refine=0, mixed_final_check=False)
     else:
         audit("f32_pallas", stencil_backend="pallas")
 

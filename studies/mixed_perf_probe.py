@@ -207,6 +207,22 @@ def main():
                run_kw=dict(collect_precompute=True, collect_tail="f32"),
                mixed_refine=1, mixed_final_check=False,
                mixed_df=True, coupling_source="analytic", **mixed)
+    # --- round 5: the f32-state double-float step (precision="df") ---
+    # every field eval / plane assembly / rhs / corrector in native-f32 DF
+    # via the jaxpr lift; Newton solves = DF refinement around the fused f32
+    # kernel.  A/B rows mirror the mixed family.
+    dfk = dict(precision="df", stencil_backend="pallas")
+    run_errors("dfstate_errors_r1", mixed_refine=1, **dfk)
+    run_errors("dfstate_pre_tail_nocheck",
+               run_kw=dict(collect_precompute=True, collect_tail="f32"),
+               mixed_refine=1, mixed_final_check=False, **dfk)
+    run_sim_only("dfstate_sim_r1_nocheck", mixed_refine=1,
+                 mixed_final_check=False, **dfk)
+    # per-system (non-fused) df path for reference
+    run_errors("dfstate_jnp_pre_tail_nocheck",
+               run_kw=dict(collect_precompute=True, collect_tail="f32"),
+               mixed_refine=1, mixed_final_check=False,
+               precision="df", stencil_backend="jnp")
     run_errors("f64_errors")
     run_sim_only("f64_sim")
 
